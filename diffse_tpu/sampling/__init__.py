@@ -1,0 +1,158 @@
+"""Reverse-SDE samplers compiled as single XLA programs.
+
+TPU-native re-design of sgmse/sampling/__init__.py:28-171:
+
+  - The N-step predictor-corrector loop is one ``jax.lax.scan`` inside one
+    ``jit`` — the whole reverse SDE executes on-device with zero host
+    round-trips (BASELINE.json north star).
+  - The probability-flow ODE sampler uses an on-device adaptive RK45
+    (diffse_tpu/sampling/ode.py) instead of scipy + flatten-to-numpy.
+  - Randomness via explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .correctors import Corrector, CorrectorRegistry
+from .predictors import Predictor, PredictorRegistry, ReverseDiffusionPredictor
+from .ode import solve_ivp_rk45
+
+__all__ = [
+    "PredictorRegistry",
+    "CorrectorRegistry",
+    "Predictor",
+    "Corrector",
+    "get_pc_sampler",
+    "get_ode_sampler",
+    "timesteps_space",
+]
+
+
+def timesteps_space(sde_t: float, sde_n: int, eps: float, timestep_type: str = "linear"):
+    """Linear time grid from T down to eps (sgmse/sampling/__init__.py:84-91)."""
+    timesteps = np.linspace(sde_t, eps, sde_n, dtype=np.float32)
+    if timestep_type in (None, "linear"):
+        return timesteps
+    # The reference silently falls through to the linear grid for any other
+    # value; alternative schedules can be registered here.
+    return timesteps
+
+
+def get_pc_sampler(
+    predictor_name: str,
+    corrector_name: str,
+    sde,
+    score_fn: Callable,
+    Y: jnp.ndarray,
+    Y_prior: Optional[jnp.ndarray] = None,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    snr: float = 0.1,
+    corrector_steps: int = 1,
+    probability_flow: bool = False,
+    intermediate: bool = False,
+    timestep_type: Optional[str] = "linear",
+    **ignored_kwargs,
+):
+    """Create a predictor-corrector sampler (sgmse/sampling/__init__.py:28-80).
+
+    Args:
+        sde: forward SDE (its ``N`` gives the number of reverse steps).
+        score_fn: ``(x, t, y) -> score``, closing over network params.
+        Y: conditioning spectrogram ``[B, C, F, T]``.
+        Y_prior: optional prior-mean override (defaults to Y).
+
+    Returns:
+        ``sampler(key) -> (sample, ns)`` where the N-step loop is a single
+        ``lax.scan``; jit-compatible and differentiable-free (inference only).
+    """
+    if intermediate:
+        raise NotImplementedError("intermediate-trajectory sampling is not implemented")
+
+    predictor = PredictorRegistry.get_by_name(predictor_name)(
+        sde, score_fn, probability_flow=probability_flow
+    )
+    corrector = CorrectorRegistry.get_by_name(corrector_name)(
+        sde, score_fn, snr=snr, n_steps=corrector_steps
+    )
+
+    timesteps = timesteps_space(sde.T, sde.N, eps, timestep_type)
+    # stepsize_i = t_i - t_{i+1}; the final step integrates the remaining t_N-1
+    # down to 0 (sgmse/sampling/__init__.py:64-69).
+    stepsizes = np.concatenate([timesteps[:-1] - timesteps[1:], timesteps[-1:]])
+    schedule = jnp.asarray(np.stack([timesteps, stepsizes], axis=1))
+
+    y_cond = Y
+    y_prior = Y if Y_prior is None else Y_prior
+    batch = Y.shape[0]
+
+    def pc_sampler(key: jax.Array):
+        prior_key, scan_key = jax.random.split(key)
+        xt, _ = sde.prior_sampling(prior_key, y_prior)
+
+        def body(carry, trow):
+            x, x_mean, k = carry
+            k, kc, kp = jax.random.split(k, 3)
+            t, stepsize = trow[0], trow[1]
+            vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+            x, x_mean = corrector.update_fn(kc, x, vec_t, y_cond)
+            x, x_mean = predictor.update_fn(kp, x, vec_t, y_cond, stepsize)
+            return (x, x_mean, k), None
+
+        (xt, xt_mean, _), _ = jax.lax.scan(body, (xt, xt, scan_key), schedule)
+        x_result = xt_mean if denoise else xt
+        ns = len(timesteps) * (corrector.n_steps + 1)
+        return x_result, ns
+
+    return pc_sampler
+
+
+def get_ode_sampler(
+    sde,
+    score_fn: Callable,
+    y: jnp.ndarray,
+    Y_prior: Optional[jnp.ndarray] = None,
+    inverse_scaler: Optional[Callable] = None,
+    denoise: bool = True,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    timestep_type: Optional[str] = None,
+    eps: float = 3e-2,
+    **ignored_kwargs,
+):
+    """Probability-flow ODE sampler (sgmse/sampling/__init__.py:95-171) with an
+    on-device adaptive RK45 instead of scipy's host-side solver."""
+    predictor = ReverseDiffusionPredictor(sde, score_fn, probability_flow=False)
+    rsde = sde.reverse(score_fn, probability_flow=True)
+    y_prior = y if Y_prior is None else Y_prior
+
+    def denoise_update_fn(key, x):
+        vec_eps = jnp.full((x.shape[0],), eps, dtype=jnp.float32)
+        _, x = predictor.update_fn(key, x, vec_eps, y, 0.03)
+        return x
+
+    def drift_fn(x, t, y_):
+        return rsde.sde(x, t, y_)[0]
+
+    def ode_sampler(key: jax.Array):
+        prior_key, denoise_key = jax.random.split(key)
+        xt, _ = sde.prior_sampling(prior_key, y_prior)
+
+        def ode_func(t, x):
+            vec_t = jnp.full((y.shape[0],), t, dtype=jnp.float32)
+            return drift_fn(x, vec_t, y)
+
+        result = solve_ivp_rk45(ode_func, (sde.T, eps), xt, rtol=rtol, atol=atol)
+        x = result.y
+        if denoise:
+            x = denoise_update_fn(denoise_key, x)
+        if inverse_scaler is not None:
+            x = inverse_scaler(x)
+        return x, result.nfev
+
+    return ode_sampler

@@ -1,0 +1,147 @@
+"""Backbone tests: shapes/jit/param-counts for NCSN++, NCSN++-SNR, SNRNet, DCUNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffse_tpu.models import BackboneRegistry
+from diffse_tpu.models.ncsnpp import NCSNpp, NCSNppSNR
+from diffse_tpu.models.snrnet import SNRNet
+from diffse_tpu.models.dcunet import DCUNet
+
+
+def _complex_pair(key, b, f, t):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (b, 2, f, t, 2))
+    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+
+TINY = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,), image_size=16)
+
+
+def test_registry_contains_all_backbones():
+    names = set(BackboneRegistry.get_all_names())
+    assert {"ncsnpp", "ncsnpp_snr", "snrnet", "dcunet"} <= names
+
+
+def test_ncsnpp_tiny_forward_shape_and_jit():
+    model = NCSNpp(**TINY)
+    x = _complex_pair(jax.random.PRNGKey(0), 2, 16, 16)
+    t = jnp.asarray([0.5, 0.9])
+    params = model.init(jax.random.PRNGKey(1), x, t)
+    out = jax.jit(lambda p, x_, t_: model.apply(p, x_, t_))(params, x, t)
+    assert out.shape == (2, 1, 16, 16)
+    assert out.dtype == jnp.complex64
+    assert bool(jnp.all(jnp.isfinite(out.real)))
+
+
+def test_ncsnpp_tiny_wider_time_axis():
+    """Eval-time inputs have T padded to multiples of 64 but H fixed; tiny
+    analog: H=16, T=32."""
+    model = NCSNpp(**TINY)
+    x = _complex_pair(jax.random.PRNGKey(0), 1, 16, 32)
+    t = jnp.asarray([0.7])
+    params = model.init(jax.random.PRNGKey(1), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (1, 1, 16, 32)
+
+
+def test_ncsnpp_output_scales_inversely_with_sigma():
+    """h is divided by used_sigmas (ncsnpp.py:398): halving t must roughly
+    double the 1/sigma factor on an identical trunk input. We check exact
+    inverse scaling by comparing two sigma values on the same params/input
+    modulo the embedding change — so instead verify the division directly:
+    output * t is bounded while output grows as 1/t for small t."""
+    model = NCSNpp(**TINY)
+    x = _complex_pair(jax.random.PRNGKey(2), 1, 16, 16)
+    params = model.init(jax.random.PRNGKey(1), x, jnp.asarray([1.0]))
+    out_small = model.apply(params, x, jnp.asarray([1e-3]))
+    out_large = model.apply(params, x, jnp.asarray([1.0]))
+    assert float(jnp.abs(out_small).mean()) > 50 * float(jnp.abs(out_large).mean())
+
+
+def test_ncsnpp_full_config_param_count():
+    """The production NCSN++ is ~65M params (SURVEY.md L2; reference reports
+    ~65M for nf=128, ch_mult=(1,1,2,2,2,2,2))."""
+    model = NCSNpp()
+    x = jax.ShapeDtypeStruct((1, 2, 256, 256), jnp.complex64)
+    t = jax.ShapeDtypeStruct((1,), jnp.float32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
+    count = sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(params))
+    assert 55e6 < count < 75e6, f"param count {count}"
+
+
+def test_ncsnpp_snr_tiny_forward():
+    model = NCSNppSNR(**TINY)
+    x = _complex_pair(jax.random.PRNGKey(0), 2, 16, 16)
+    t = jnp.asarray([0.5, 0.9])
+    s = jnp.asarray([0.3, 0.2])
+    params = model.init(jax.random.PRNGKey(1), x, t, s)
+    out = model.apply(params, x, t, s)
+    assert out.shape == (2, 1, 16, 16)
+    assert bool(jnp.all(jnp.isfinite(out.real)))
+
+
+def test_ncsnpp_snr_has_two_embeddings():
+    model = NCSNppSNR(**TINY)
+    x = _complex_pair(jax.random.PRNGKey(0), 1, 16, 16)
+    params = model.init(jax.random.PRNGKey(1), x, jnp.asarray([0.5]), jnp.asarray([0.3]))
+    keys = set(params["params"].keys())
+    assert "time_embed" in keys and "noise_embed" in keys
+    assert "semb_dense_0" in keys and "semb_dense_1" in keys
+
+
+def test_snrnet_forward_and_param_count():
+    model = SNRNet()
+    x = jnp.zeros((4, 2, 256, 384))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (4, 1)
+    assert bool(jnp.all((out >= 0) & (out <= 1)))
+    # torch reference count is 1,261,313 (snrnet.py:99-104); flax LSTM bias
+    # bookkeeping differs slightly (torch keeps 2 bias vectors per gate set).
+    count = sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(params))
+    assert abs(count - 1_261_313) < 5000, f"param count {count}"
+
+
+def test_snrnet_jit_multiple_lengths():
+    model = SNRNet()
+    x = jnp.zeros((1, 2, 256, 384))
+    params = model.init(jax.random.PRNGKey(0), x)
+    apply = jax.jit(model.apply)
+    for t in (16, 64, 128):
+        out = apply(params, jnp.zeros((2, 2, 256, t)))
+        assert out.shape == (2, 1)
+
+
+def test_dcunet_forward():
+    """DilDCUNet-v2 needs (F-1) % 8 == 0 and (T-1) % 4 == 0 (auto-padded)."""
+    model = DCUNet()
+    x = _complex_pair(jax.random.PRNGKey(0), 1, 257, 65)
+    t = jnp.asarray([0.5])
+    variables = model.init(jax.random.PRNGKey(1), x, t)
+    out = model.apply(variables, x, t)
+    assert out.shape == (1, 1, 257, 65)
+    assert out.dtype == jnp.complex64
+    assert bool(jnp.all(jnp.isfinite(out.real)))
+
+
+def test_dcunet_pads_mismatched_time():
+    model = DCUNet()
+    x = _complex_pair(jax.random.PRNGKey(0), 1, 257, 62)  # (62-1)%4 != 0
+    t = jnp.asarray([0.5])
+    variables = model.init(jax.random.PRNGKey(1), x, t)
+    out = model.apply(variables, x, t)
+    assert out.shape == (1, 1, 257, 62)
+
+
+def test_dcunet_batchnorm_train_mode_mutates_stats():
+    model = DCUNet()
+    x = _complex_pair(jax.random.PRNGKey(0), 2, 257, 33)
+    t = jnp.asarray([0.5, 0.7])
+    variables = model.init(jax.random.PRNGKey(1), x, t)
+    assert "batch_stats" in variables
+    out, updates = model.apply(variables, x, t, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 1, 257, 33)
+    assert "batch_stats" in updates

@@ -1,0 +1,197 @@
+"""In-training validation harness: evaluate_model.
+
+Functional twin of sgmse/util/inference.py:85-318 — pick files uniformly over
+the validation set, run the branch-specific enhancement (8 branches across
+bbed / sebridge / sebridge_v2[_fixed|_snr] / sebridge_v3[_fixed|_snr]), and
+accumulate PESQ-wb / SI-SDR / ESTOI.
+
+All spectral work (normalize -> STFT -> branch sampling -> iSTFT) runs as one
+jitted XLA program per (branch, padded-width) bucket; only wav I/O and the
+PESQ/ESTOI scoring stay on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.wavio import read_wav
+from ..models.score_model import (
+    ScoreModel,
+    calculate_normfac_direct,
+    calculate_snr_direct,
+    noise_mag,
+    t_30,
+)
+from ..sampling import get_pc_sampler
+from ..transforms import pad_spec
+from ..utils import randn_like
+from .metrics import estoi, pesq_wb, si_sdr
+
+# Settings (inference.py:11-15)
+SR = 16000
+SNR_ALD = 0.5
+N_STEPS = 30
+CORRECTOR_STEPS = 1
+
+_jit_cache: dict = {}
+
+
+def _eval_fn(model: ScoreModel, branch: str, t_pad: int):
+    """Jitted eval-time enhancement for one branch/width bucket
+    (inference.py:152-312)."""
+    key_ = (id(model), branch, t_pad)
+    if key_ in _jit_cache:
+        return _jit_cache[key_]
+
+    cfg = model.cfg
+    fixed_snr = cfg.fixed_snr
+
+    def fn(variables, x_wav, y_wav, key, est_snr):
+        norm_factor = jnp.max(jnp.abs(y_wav))
+        if branch in ("sebridge_v2_snr", "sebridge_v3_snr"):
+            # NOTE: the reference uses the *unsnapped* est_snr for the eval
+            # normfac (inference.py:156), unlike enhance() which snaps first.
+            normfac = calculate_normfac_direct(1.0, est_snr, fixed_snr)
+            norm_factor = norm_factor * normfac
+
+        y = y_wav / norm_factor
+        x = x_wav / norm_factor
+        if branch == "sebridge_v3_fixed":
+            # Rescale noise to the training fixed_snr (inference.py:165-166).
+            y = x + (y - x) * fixed_snr
+
+        Y = pad_spec(model._forward_transform(model._stft(y))[:, None])
+        X = pad_spec(model._forward_transform(model._stft(x))[:, None])
+
+        if branch == "bbed":
+            score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
+            sde = model.sde.replace(N=N_STEPS)
+            sampler = get_pc_sampler(
+                "reverse_diffusion", "ald", sde=sde, score_fn=score_fn, Y=Y,
+                denoise=True, eps=cfg.t_eps, snr=SNR_ALD,
+                corrector_steps=CORRECTOR_STEPS,
+            )
+            sample, _ = sampler(key)
+        elif branch == "sebridge":
+            vec_t = jnp.full((Y.shape[0],), 0.999)
+            sample, _ = model.forward(variables, Y, vec_t, Y)
+        elif branch == "sebridge_v2":
+            vec_t = jnp.full((Y.shape[0],), 1.0)
+            Z = randn_like(key, Y) * cfg.sigma_max * 1.0
+            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+        elif branch == "sebridge_v2_fixed":
+            vec_t = jnp.full((Y.shape[0],), 0.999)
+            noise_size = noise_mag(X, Y, mode="max")
+            Y = X + (Y - X) / noise_size * fixed_snr
+            Z = randn_like(key, Y) * cfg.sigma_max * 0.999
+            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+        elif branch == "sebridge_v3_fixed":
+            vec_t = jnp.full((Y.shape[0],), 1.0)
+            Z = randn_like(key, Y) * cfg.sigma_max
+            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+        elif branch == "sebridge_v2_snr":
+            # NOTE: the reference's path calls calculate_snr_direct with two
+            # args and crashes (inference.py:273, SURVEY.md §3.6); implemented
+            # here with the intended fixed_snr argument.
+            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)
+            vec_t = jnp.full((Y.shape[0],), 1.0) * t_val
+            Z = randn_like(key, Y) * cfg.sigma_max * t_val
+            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+        elif branch == "sebridge_v3_snr":
+            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)
+            idx = jnp.argmin(jnp.abs(jnp.asarray(t_30) - t_val))
+            t_val = jnp.asarray(t_30)[idx]
+            vec_t = jnp.full((Y.shape[0],), 1.0) * t_val
+            Z = randn_like(key, Y) * cfg.sigma_max * t_val
+            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+        else:
+            raise ValueError(f"unknown eval branch {branch}")
+
+        x_hat = model.to_audio(sample[:, 0]) * norm_factor
+        return x_hat
+
+    jitted = jax.jit(fn)
+    _jit_cache[key_] = jitted
+    return jitted
+
+
+def eval_enhance_file(
+    model: ScoreModel,
+    variables,
+    x_wav: np.ndarray,
+    y_wav: np.ndarray,
+    model_type: str,
+    key: jax.Array,
+    est_snr: float = 1.0,
+) -> np.ndarray:
+    """Enhance one utterance with the eval-time branch semantics; returns the
+    enhanced waveform trimmed to the input length."""
+    t_orig = y_wav.shape[-1]
+    frames = 1 + t_orig // model.cfg.hop_length
+    t_pad = frames + (64 - frames % 64) % 64
+    fn = _eval_fn(model, model_type, t_pad)
+    x_hat = fn(
+        variables,
+        jnp.asarray(x_wav)[None] if x_wav.ndim == 1 else jnp.asarray(x_wav),
+        jnp.asarray(y_wav)[None] if y_wav.ndim == 1 else jnp.asarray(y_wav),
+        key,
+        jnp.asarray(est_snr, dtype=jnp.float32),
+    )
+    return np.asarray(x_hat)[0, :t_orig]
+
+
+def evaluate_model(
+    model: ScoreModel,
+    variables,
+    data_module,
+    num_eval_files: int,
+    model_type: str = "bbed",
+    fixed_snr: float = 1.0,
+    key: Optional[jax.Array] = None,
+) -> Tuple[float, float, float]:
+    """Mean (pesq, si_sdr, estoi) over uniformly selected validation files
+    (inference.py:85-318)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    if model_type == "sebridge_v3_fixed":
+        clean_files = data_module.valid_set_2.clean_files
+        noisy_files = data_module.valid_set_2.noisy_files
+    else:
+        clean_files = data_module.valid_set.clean_files
+        noisy_files = data_module.valid_set.noisy_files
+
+    total = len(clean_files)
+    if num_eval_files == -1:
+        num_eval_files = total
+    indices = np.linspace(0, total - 1, num_eval_files).astype(int)
+    clean_files = [clean_files[i] for i in indices]
+    noisy_files = [noisy_files[i] for i in indices]
+
+    _pesq = _si_sdr = _estoi = 0.0
+    for i, (cf, nf) in enumerate(zip(clean_files, noisy_files)):
+        x, _ = read_wav(cf)
+        y, _ = read_wav(nf)
+        x, y = x[0], y[0]
+
+        est_snr = 1.0
+        if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
+            est_snr = float(model.estimate_snr(jnp.asarray(y)[None])[0])
+
+        file_key = jax.random.fold_in(key, i)
+        x_hat = eval_enhance_file(
+            model, variables, x, y, model_type, file_key, est_snr=est_snr
+        )
+        _si_sdr += si_sdr(x, x_hat)
+        _pesq += pesq_wb(SR, x, x_hat)
+        _estoi += estoi(x, x_hat, SR)
+
+    return (
+        _pesq / num_eval_files,
+        _si_sdr / num_eval_files,
+        _estoi / num_eval_files,
+    )

@@ -1,0 +1,172 @@
+"""Training machinery tests: jitted train step, EMA schedule, data-parallel
+mesh over 8 virtual devices, checkpoint top-k retention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+from diffse_tpu.models.snr_model import SNRModel, SNRModelConfig
+from diffse_tpu.parallel import make_mesh, shard_batch, replicate
+from diffse_tpu.train import (
+    CheckpointManager,
+    TrainState,
+    create_train_state,
+    ema_decay_schedule,
+    eval_variables,
+    make_train_step,
+)
+
+TINY_BACKBONE = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+                     image_size=16)
+
+
+def _model_and_state():
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", snr_conditioned="true",
+                           model_type="sebridge_v3", fixed_snr=0.17783, sigma_max=1.0)
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=16, num_freq_bins=16)
+    opt = optax.adam(1e-4)
+    state = create_train_state(variables, opt)
+    return model, opt, state
+
+
+def _batch(key, b=4, f=16, t=16):
+    k1, k2 = jax.random.split(key)
+    x = (jax.random.normal(k1, (b, 1, f, t)) + 1j * jax.random.normal(k1, (b, 1, f, t)))
+    y = x + 0.3 * (jax.random.normal(k2, (b, 1, f, t)) + 1j * jax.random.normal(k2, (b, 1, f, t)))
+    return x.astype(jnp.complex64), y.astype(jnp.complex64)
+
+
+def test_ema_schedule_matches_torch_ema():
+    """torch_ema with use_num_updates: decay = min(decay, (1+n)/(10+n))."""
+    assert float(ema_decay_schedule(0.999, jnp.asarray(1))) == pytest.approx(2 / 11)
+    assert float(ema_decay_schedule(0.999, jnp.asarray(10_000))) == pytest.approx(0.999)
+
+
+def test_train_step_updates_params_and_ema():
+    model, opt, state = _model_and_state()
+    step = make_train_step(model, opt, ema_decay=0.999, donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["train_loss"]))
+
+    # params changed somewhere in the tree
+    diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.variables["params"]),
+            jax.tree_util.tree_leaves(new_state.variables["params"]),
+        )
+    )
+    assert diff > 0
+
+    # EMA after first step: decay = min(0.999, 2/11) = 2/11, on every leaf
+    d = 2 / 11
+    for p0, p1, e1 in zip(
+        jax.tree_util.tree_leaves(state.variables["params"]),
+        jax.tree_util.tree_leaves(new_state.variables["params"]),
+        jax.tree_util.tree_leaves(new_state.ema_params),
+    ):
+        expected = d * np.asarray(p0) + (1 - d) * np.asarray(p1)
+        np.testing.assert_allclose(np.asarray(e1), expected, rtol=1e-4, atol=1e-6)
+
+
+def test_train_loss_decreases():
+    model, opt, state = _model_and_state()
+    step = make_train_step(model, opt, donate=False)
+    batch = _batch(jax.random.PRNGKey(1))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))  # same key/noise
+        losses.append(float(metrics["train_loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_eval_variables_selects_ema():
+    model, opt, state = _model_and_state()
+    ev = eval_variables(state)
+    assert ev["params"] is state.ema_params
+    ev_raw = eval_variables(state, no_ema=True)
+    assert ev_raw["params"] is state.variables["params"]
+
+
+def test_data_parallel_step_matches_single_device():
+    """The 8-virtual-device mesh train step must produce (numerically) the
+    same update as the single-device step — DP is a pure sharding."""
+    assert len(jax.devices()) == 8
+    model, opt, state = _model_and_state()
+    batch = _batch(jax.random.PRNGKey(1), b=8)
+
+    step_single = make_train_step(model, opt, donate=False)
+    s1, m1 = step_single(state, batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh()
+    step_dp = make_train_step(model, opt, mesh=mesh, donate=False)
+    state_dp = replicate(mesh, state)
+    batch_dp = shard_batch(mesh, batch)
+    s2, m2 = step_dp(state_dp, batch_dp, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(
+        float(m1["train_loss"]), float(m2["train_loss"]), rtol=1e-4
+    )
+    p1 = jax.tree_util.tree_leaves(s1.variables["params"])[0]
+    p2 = jax.tree_util.tree_leaves(s2.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6)
+
+
+def test_snr_model_train_step():
+    model = SNRModel(SNRModelConfig())
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=32)
+    opt = optax.adam(1e-4)
+    state = create_train_state(variables, opt)
+    step = make_train_step(model, opt, donate=False)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = (jax.random.normal(k1, (2, 1, 256, 32)) + 1j * jax.random.normal(k2, (2, 1, 256, 32))).astype(jnp.complex64)
+    y = x + 0.1 * (jax.random.normal(k2, (2, 1, 256, 32))).astype(jnp.complex64)
+    state, metrics = step(state, (x, y), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+    vm = jax.jit(model.valid_metrics)(state.variables, (x, y, jnp.asarray([1.0, 1.0]), jnp.asarray([0.5, 0.2])))
+    assert np.isfinite(float(vm["snr_error"]))
+
+
+def test_checkpoint_topk_retention(tmp_path):
+    model, opt, state = _model_and_state()
+    mgr = CheckpointManager(
+        str(tmp_path / "ckpts"),
+        monitors=[{"monitor": "pesq", "mode": "max", "top_k": 2}],
+        save_last=True,
+        hparams={"backbone": "ncsnpp"},
+    )
+    pesqs = [1.0, 3.0, 2.0, 2.5, 0.5]
+    for i, p in enumerate(pesqs):
+        mgr.save(i, state, {"pesq": p})
+    kept = mgr.all_steps()
+    # top-2 pesq = steps 1 (3.0), 3 (2.5); last = step 4
+    assert set(kept) == {1, 3, 4}
+    assert mgr.best_step("pesq") == 1
+    assert mgr.latest_step() == 4
+
+    restored = mgr.restore(jax.tree_util.tree_map(np.asarray, state), step=1)
+    r0 = jax.tree_util.tree_leaves(restored.variables["params"])[0]
+    s0 = jax.tree_util.tree_leaves(state.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(s0))
+    assert mgr.load_hparams() == {"backbone": "ncsnpp"}
+
+
+def test_checkpoint_min_mode(tmp_path):
+    """snr_error is monitored with mode=min (train_snr_est.py:74-79)."""
+    model, opt, state = _model_and_state()
+    mgr = CheckpointManager(
+        str(tmp_path / "c2"),
+        monitors=[{"monitor": "snr_error", "mode": "min", "top_k": 1}],
+    )
+    for i, e in enumerate([5.0, 1.0, 3.0]):
+        mgr.save(i, state, {"snr_error": e})
+    assert set(mgr.all_steps()) == {1, 2}
+    assert mgr.best_step("snr_error", mode="min") == 1

@@ -1,0 +1,139 @@
+"""Full test-set evaluation CLI (reference: eval.py).
+
+Loads a checkpoint (EMA weights), optionally reads the SNR oracle from
+`active_rms.txt` (eval.py:55-67), rescales the reverse starting point
+(sde.T = reverse_starting_point, N = T / delta_t, eval.py:105-113), enhances
+every wav under <test_dir>/noisy, writes enhanced wavs plus a per-file metric
+CSV and a mean ± std summary. PESQ requires the `pesq` package; SI-SDR and
+ESTOI are always scored natively.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from argparse import ArgumentParser
+from os.path import join
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = ArgumentParser(description=__doc__)
+    parser.add_argument("--destination_folder", type=str, required=True)
+    parser.add_argument("--test_dir", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, required=True,
+                        help="Checkpoint directory (CheckpointManager layout)")
+    parser.add_argument("--ckpt_step", type=int, default=None)
+    parser.add_argument("--monitor", type=str, default=None,
+                        help="Pick the best checkpoint by this metric (e.g. pesq)")
+    parser.add_argument("--sampler_type", type=str, choices=("pc", "ode"), default="pc")
+    parser.add_argument("--predictor", type=str, default="reverse_diffusion")
+    parser.add_argument("--reverse_starting_point", type=float, default=1.0)
+    parser.add_argument("--force_N", type=int, default=0)
+    parser.add_argument("--corrector", type=str, choices=("ald", "langevin", "none"),
+                        default="ald")
+    parser.add_argument("--corrector_steps", type=int, default=1)
+    parser.add_argument("--snr", type=float, default=0.5)
+    parser.add_argument("--N", type=int, default=30)
+    parser.add_argument("--atol", type=float, default=1e-5)
+    parser.add_argument("--rtol", type=float, default=1e-5)
+    parser.add_argument("--timestep_type", type=str, default="linear")
+    parser.add_argument("--oracle", type=bool, default=False)
+    parser.add_argument("--snr_ckpt", type=str, default=None,
+                        help="SNR-estimator checkpoint dir (snr_conditioned=true, non-oracle)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from ..data.wavio import read_wav, write_wav
+    from ..evaluation.metrics import estoi, pesq_wb, print_mean_std, si_sdr
+    from ..train.restore import load_score_model, load_snr_model
+    from ..train.state import eval_variables
+
+    clean_dir = join(args.test_dir, "clean")
+    noisy_dir = join(args.test_dir, "noisy")
+
+    clean_rms, noise_rms = [], []
+    if args.oracle:
+        with open(join(args.test_dir, "active_rms.txt")) as f:
+            for line in f:
+                parts = line.split("\t")
+                try:
+                    clean_rms.append(float(parts[1]))
+                    noise_rms.append(float(parts[2]))
+                except (IndexError, ValueError):
+                    break
+
+    snr_model = None
+    if args.snr_ckpt:
+        snr_m, snr_state = load_snr_model(args.snr_ckpt)
+        snr_model = (snr_m.dnn, eval_variables(snr_state))
+
+    model, state = load_score_model(
+        args.ckpt, step=args.ckpt_step, monitor=args.monitor, snr_model=snr_model
+    )
+    variables = eval_variables(state)  # EMA weights (eval.py:98)
+
+    # Reverse starting point rescale (eval.py:105-113)
+    sr = 16000
+    reverse_starting_point = args.reverse_starting_point
+    if model.sde.__class__.__name__ == "OUVESDE":
+        model.sde = model.sde.replace(T_=reverse_starting_point)
+    else:
+        model.sde = model.sde.replace(T_sampling=reverse_starting_point)
+    delta_t = 1 / args.N
+    N = int(reverse_starting_point / delta_t)
+    if args.force_N:
+        N = args.force_N
+
+    noisy_files = sorted(glob.glob(f"{noisy_dir}/*.wav"))
+    target_dir = args.destination_folder
+    os.makedirs(join(target_dir, "all"), exist_ok=True)
+
+    data = {"filename": [], "pesq": [], "si_sdr": [], "estoi": []}
+    _pesq_sum = 0.0
+    key = jax.random.PRNGKey(0)
+    for cnt, noisy_file in enumerate(noisy_files):
+        filename = os.path.basename(noisy_file)
+        x, _ = read_wav(join(clean_dir, filename))
+        y, _ = read_wav(noisy_file)
+
+        kwargs = dict(
+            sampler_type=args.sampler_type, predictor=args.predictor,
+            corrector=args.corrector, corrector_steps=args.corrector_steps,
+            N=N, snr=args.snr, atol=args.atol, rtol=args.rtol,
+            timestep_type=args.timestep_type, oracle=args.oracle,
+        )
+        if args.oracle:
+            kwargs.update(clean_rms=clean_rms[cnt], noise_rms=noise_rms[cnt])
+        else:
+            kwargs.update(clean_rms=1, noise_rms=1)
+
+        key, ekey = jax.random.split(key)
+        x_hat = model.enhance(variables, jnp.asarray(x), jnp.asarray(y), key=ekey, **kwargs)
+
+        x1 = x[0]
+        write_wav(join(target_dir, "all", filename), x_hat, sr)
+
+        p = pesq_wb(sr, x1, x_hat)
+        _pesq_sum += 0.0 if np.isnan(p) else p
+        data["filename"].append(filename)
+        data["pesq"].append(p)
+        data["si_sdr"].append(si_sdr(x1, x_hat))
+        data["estoi"].append(estoi(x1, x_hat, sr))
+        print(f" avg PESQ: {_pesq_sum / (cnt + 1):.3f}  "
+              f"(si_sdr {data['si_sdr'][-1]:.2f}, estoi {data['estoi'][-1]:.3f})")
+
+    df = pd.DataFrame(data)
+    df.to_csv(join(target_dir, "_results.csv"), index=False)
+    with open(join(target_dir, "_avg_results.txt"), "w") as f:
+        f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
+        f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
+        f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,29 @@ class ScoreModel:
         self._window = self.stft_cfg.window_array()
         self.snr_model = snr_model
         self._enhance_cache: dict = {}
+        self._backbone_kwargs = dict(backbone_kwargs or {})
+        self._sde_kwargs = dict(sde_kwargs or {})
+
+    # ----------------------------------------------------------- persistence
+    @property
+    def hparams(self) -> dict:
+        """Serializable hyperparameters, enabling load-with-overrides
+        (the analog of Lightning save_hyperparameters, model.py:93)."""
+        return {
+            "config": dataclasses.asdict(self.cfg),
+            "backbone_kwargs": self._backbone_kwargs,
+            "sde_kwargs": self._sde_kwargs,
+        }
+
+    @classmethod
+    def from_hparams(cls, hparams: dict, snr_model=None, **config_overrides) -> "ScoreModel":
+        cfg = ScoreModelConfig(**{**hparams["config"], **config_overrides})
+        return cls(
+            cfg,
+            backbone_kwargs=hparams.get("backbone_kwargs") or {},
+            sde_kwargs=hparams.get("sde_kwargs") or {},
+            snr_model=snr_model,
+        )
 
     # ------------------------------------------------------------------ setup
     def init_variables(self, key: jax.Array, num_frames: Optional[int] = None,

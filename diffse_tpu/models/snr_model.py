@@ -47,6 +47,15 @@ class SNRModel:
         )
         self._window = self.stft_cfg.window_array()
 
+    @property
+    def hparams(self) -> dict:
+        return {"config": dataclasses.asdict(self.cfg)}
+
+    @classmethod
+    def from_hparams(cls, hparams: dict, **config_overrides) -> "SNRModel":
+        cfg = SNRModelConfig(**{**hparams["config"], **config_overrides})
+        return cls(cfg)
+
     def init_variables(self, key: jax.Array, num_frames: Optional[int] = None):
         t = num_frames or self.cfg.num_frames
         f = self.stft_cfg.num_freq_bins

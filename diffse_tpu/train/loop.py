@@ -1,0 +1,226 @@
+"""Training loops: the functional twin of Lightning's Trainer.fit wiring
+(train.py:105-125, train_snr_est.py:82-102) with:
+
+  - epochs over the threaded DataLoader, each optimizer step one jitted XLA
+    program (preprocess + loss + grads + Adam + EMA),
+  - data-parallel sharding over a device mesh,
+  - per-epoch validation: valid loss, evaluate_model (PESQ/SI-SDR/ESTOI) and
+    the 9-SNR deep sweep every `deep_inference_every_epoch` epochs
+    (model.py:402-477),
+  - metric-ranked checkpointing (top-10 pesq / top-2 si_sdr / last, or
+    top-3 min snr_error for the SNR estimator) and resume.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..evaluation.deep_inference import SNR_GRID, deep_evaluate_model
+from ..evaluation.inference import evaluate_model
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoints import CheckpointManager
+from .logging import MetricsLogger
+from .state import create_train_state, eval_variables
+from .steps import make_eval_step, make_train_step
+
+DEEP_INFERENCE_EVERY_EPOCH = 10
+
+
+def eval_model_type(snr_conditioned: str, model_type: str) -> str:
+    """(snr_conditioned, model_type) -> evaluate_model branch name
+    (model.py:409-426)."""
+    if snr_conditioned == "false":
+        return model_type
+    if snr_conditioned == "fixed":
+        return f"{model_type}_fixed"
+    if snr_conditioned == "true":
+        return f"{model_type}_snr"
+    raise ValueError(snr_conditioned)
+
+
+def train_score_model(
+    model,
+    data_module,
+    max_epochs: int = 1,
+    ckpt_dir: Optional[str] = None,
+    logger: Optional[MetricsLogger] = None,
+    seed: int = 0,
+    use_mesh: bool = True,
+    log_every_n_steps: int = 10,
+    resume: bool = False,
+    max_steps_per_epoch: Optional[int] = None,
+):
+    """Train a ScoreModel; returns the final TrainState."""
+    cfg = model.cfg
+    logger = logger or MetricsLogger()
+    data_module.setup("fit")
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    variables = model.init_variables(init_key)
+
+    optimizer = optax.adam(cfg.lr)
+    state = create_train_state(variables, optimizer)
+
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    train_step = make_train_step(
+        model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
+        preprocess=model.prepare_batch, donate=True,
+    )
+    valid_step = make_eval_step(model, preprocess=model.prepare_batch)
+
+    ckpt_mgr = None
+    if ckpt_dir:
+        ckpt_mgr = CheckpointManager(
+            ckpt_dir,
+            monitors=[
+                {"monitor": "pesq", "mode": "max", "top_k": 10},
+                {"monitor": "si_sdr", "mode": "max", "top_k": 2},
+            ],
+            hparams=model.hparams,
+        )
+        if resume and ckpt_mgr.latest_step() is not None:
+            state = ckpt_mgr.restore(state)
+
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    mt = eval_model_type(cfg.snr_conditioned, cfg.model_type)
+    start_epoch = 0
+
+    for epoch in range(start_epoch, max_epochs):
+        # ---- train epoch
+        for i, batch in enumerate(data_module.train_dataloader()):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            key, step_key = jax.random.split(key)
+            jbatch = tuple(jnp.asarray(b) for b in batch)
+            if mesh is not None:
+                jbatch = shard_batch(mesh, jbatch)
+            state, metrics = train_step(state, jbatch, step_key)
+            if i % log_every_n_steps == 0:
+                logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
+                           step=int(state.step))
+
+        # ---- validation (EMA weights, model.py:120-134)
+        ev = eval_variables(state)
+        val_losses = []
+        for batch in data_module.val_dataloader():
+            key, vkey = jax.random.split(key)
+            jbatch = tuple(jnp.asarray(b) for b in batch)
+            m = valid_step(ev, jbatch, vkey)
+            val_losses.append(float(m["valid_loss"]))
+        epoch_metrics = {"valid_loss": float(np.mean(val_losses))} if val_losses else {}
+
+        if cfg.num_eval_files != 0:
+            key, ekey = jax.random.split(key)
+            pesq_v, si_sdr_v, estoi_v = evaluate_model(
+                model, ev, data_module, cfg.num_eval_files, model_type=mt,
+                fixed_snr=cfg.fixed_snr, key=ekey,
+            )
+            epoch_metrics.update({"pesq": pesq_v, "si_sdr": si_sdr_v, "estoi": estoi_v})
+
+            if (
+                cfg.snr_conditioned != "fixed"
+                and epoch % DEEP_INFERENCE_EVERY_EPOCH == 0
+                and epoch >= DEEP_INFERENCE_EVERY_EPOCH
+            ):
+                key, dkey = jax.random.split(key)
+                vals = deep_evaluate_model(
+                    model, ev, data_module, cfg.num_eval_files, model_type=mt,
+                    fixed_snr=cfg.fixed_snr, key=dkey,
+                )
+                n = len(SNR_GRID)
+                # logged as *_-5 .. *_35 (effective input SNR; model.py:449-477)
+                labels = ["-5", "00", "05", "10", "15", "20", "25", "30", "35"]
+                for j, lab in enumerate(labels):
+                    epoch_metrics[f"si_sdr_{lab}"] = vals[j]
+                    epoch_metrics[f"pesq_{lab}"] = vals[n + j]
+                    epoch_metrics[f"estoi_{lab}"] = vals[2 * n + j]
+
+        sanitized = {k: v for k, v in epoch_metrics.items() if np.isfinite(v)}
+        logger.log({"epoch": epoch, **sanitized}, step=int(state.step))
+        if ckpt_mgr is not None:
+            host_state = jax.tree_util.tree_map(np.asarray, state)
+            ckpt_mgr.save(epoch, host_state, sanitized)
+
+    return state
+
+
+def train_snr_model(
+    model,
+    data_module,
+    max_epochs: int = 1,
+    ckpt_dir: Optional[str] = None,
+    logger: Optional[MetricsLogger] = None,
+    seed: int = 0,
+    use_mesh: bool = True,
+    log_every_n_steps: int = 10,
+    resume: bool = False,
+    max_steps_per_epoch: Optional[int] = None,
+):
+    """Train the SNR estimator (train_snr_est.py:82-102)."""
+    cfg = model.cfg
+    logger = logger or MetricsLogger()
+    data_module.setup("fit")
+
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    variables = model.init_variables(init_key)
+
+    optimizer = optax.adam(cfg.lr)
+    state = create_train_state(variables, optimizer)
+
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    train_step = make_train_step(
+        model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
+        preprocess=model.prepare_batch, donate=True,
+    )
+    valid_metrics = jax.jit(
+        lambda v, b: model.valid_metrics(v, model.prepare_batch(b))
+    )
+
+    ckpt_mgr = None
+    if ckpt_dir:
+        ckpt_mgr = CheckpointManager(
+            ckpt_dir,
+            monitors=[{"monitor": "snr_error", "mode": "min", "top_k": 3}],
+            hparams=model.hparams,
+        )
+        if resume and ckpt_mgr.latest_step() is not None:
+            state = ckpt_mgr.restore(state)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    for epoch in range(max_epochs):
+        for i, batch in enumerate(data_module.train_dataloader()):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            key, step_key = jax.random.split(key)
+            jbatch = tuple(jnp.asarray(b) for b in batch)
+            if mesh is not None:
+                jbatch = shard_batch(mesh, jbatch)
+            state, metrics = train_step(state, jbatch, step_key)
+            if i % log_every_n_steps == 0:
+                logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
+                           step=int(state.step))
+
+        ev = eval_variables(state)
+        accum = {"valid_loss": [], "snr_error": []}
+        for batch in data_module.val_dataloader():
+            jbatch = tuple(jnp.asarray(b) for b in batch)
+            m = valid_metrics(ev, jbatch)
+            for k in accum:
+                accum[k].append(float(m[k]))
+        epoch_metrics = {k: float(np.mean(v)) for k, v in accum.items() if v}
+        logger.log({"epoch": epoch, **epoch_metrics}, step=int(state.step))
+        if ckpt_mgr is not None:
+            host_state = jax.tree_util.tree_map(np.asarray, state)
+            ckpt_mgr.save(epoch, host_state, epoch_metrics)
+
+    return state

@@ -36,7 +36,10 @@ def create_train_state(variables: Any, optimizer: optax.GradientTransformation) 
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         variables=variables,
-        ema_params=jax.tree_util.tree_map(lambda p: p, params),
+        # materialize a distinct copy: the EMA must not alias the parameter
+        # buffers (buffer donation in the jitted train step requires each
+        # donated argument leaf to be a distinct buffer)
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
         opt_state=optimizer.init(params),
     )
 

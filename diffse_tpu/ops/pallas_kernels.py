@@ -1,0 +1,65 @@
+"""Pallas TPU kernels for the framework's custom-op surface.
+
+The reference ships two CUDA kernels (SURVEY.md §2.2): upfirdn2d and
+fused_bias_act. On TPU, upfirdn2d lowers to a single XLA convolution
+(diffse_tpu/ops/upfirdn2d.py) that the conv emitter already schedules
+optimally onto the MXU, so no hand kernel is needed for it. The fused
+bias+LeakyReLU elementwise op is provided here as a Pallas VPU kernel for
+op-surface parity (op/fused_bias_act_kernel.cu) and as a building block for
+later fusions; on CPU test platforms it runs in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend only exists on TPU builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _fused_bias_lrelu_kernel(x_ref, b_ref, o_ref, *, negative_slope, scale):
+    x = x_ref[...]
+    b = b_ref[...]
+    v = x + b  # bias broadcasts along the trailing (channel) axis
+    o_ref[...] = jnp.where(v >= 0, v, negative_slope * v) * scale
+
+
+def fused_bias_leaky_relu_pallas(
+    x: jnp.ndarray,
+    bias: jnp.ndarray,
+    negative_slope: float = 0.2,
+    scale: float = math.sqrt(2.0),
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused bias-add + LeakyReLU(0.2) * sqrt(2) as a Pallas kernel.
+
+    Args:
+        x: ``[..., C]`` (channels-last).
+        bias: ``[C]``.
+        interpret: force interpreter mode (auto-on for non-TPU backends).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    x2 = x.reshape(-1, c)
+
+    kernel = functools.partial(
+        _fused_bias_lrelu_kernel, negative_slope=negative_slope, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        interpret=interpret,
+    )(x2, bias.astype(x2.dtype))
+    return out.reshape(orig_shape)

@@ -14,6 +14,13 @@ parity the analysis/synthesis here must match torch's semantics exactly:
     overlap-added squared-window envelope, center trim, then trim/pad to
     ``length``.
 
+TPU-first design note: the per-frame 510-point DFT is expressed as a MATMUL
+against precomputed DFT bases (method="matmul", the default) — a [*, 510] x
+[510, 256] product that maps straight onto the MXU. For a short, fixed,
+non-power-of-two n_fft this is both faster than a generic FFT lowering and
+independent of FFT-op backend support; ``method="fft"`` keeps the
+``jnp.fft``-based path (both are tested equal against torch golden values).
+
 Everything here is shape-static and jit-friendly; the whole pipeline
 (STFT -> network -> iSTFT) runs on-device inside one XLA program.
 """
@@ -21,7 +28,7 @@ Everything here is shape-static and jit-friendly; the whole pipeline
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -72,13 +79,73 @@ def _frame_indices(num_frames: int, n_fft: int, hop_length: int) -> jnp.ndarray:
     return jnp.asarray(starts + offsets)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center"))
+@lru_cache(maxsize=8)
+def _dft_basis(n_fft: int):
+    """Forward one-sided DFT basis: X[k] = sum_n x[n] e^{-2 pi i n k / N}.
+
+    Returns (cos, msin) of shape [n_fft, K] with K = n_fft//2 + 1 so that
+    Re X = x @ cos, Im X = x @ msin. Computed in float64 then cast.
+    """
+    k_bins = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(k_bins, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    # cache numpy (not jnp) arrays: jnp constants created during a jit trace
+    # would leak tracers through the lru_cache
+    return (
+        np.cos(ang).astype(np.float32),
+        (-np.sin(ang)).astype(np.float32),
+    )
+
+
+@lru_cache(maxsize=8)
+def _idft_basis(n_fft: int):
+    """Inverse one-sided DFT basis: x = Re X @ C + Im X @ S, shape [K, n_fft].
+
+    Hermitian weights: w_k = 2 except w_0 (and w_{N/2} for even N) = 1;
+    x[n] = (1/N) sum_k w_k (Re X[k] cos(2 pi k n / N) - Im X[k] sin(...)).
+    """
+    k_bins = n_fft // 2 + 1
+    k = np.arange(k_bins, dtype=np.float64)[:, None]
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    w = np.full((k_bins, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    c = (w * np.cos(ang)) / n_fft
+    s = (-(w * np.sin(ang))) / n_fft
+    return c.astype(np.float32), s.astype(np.float32)
+
+
+def _rdft_frames(frames: jnp.ndarray, n_fft: int, method: str) -> jnp.ndarray:
+    """[..., n_fft] real -> [..., n_fft//2+1] complex."""
+    if method == "fft":
+        return jnp.fft.rfft(frames, axis=-1)
+    cos, msin = _dft_basis(n_fft)
+    re = jnp.matmul(frames, cos, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, msin, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.complex(re, im)
+
+
+def _irdft_frames(spec: jnp.ndarray, n_fft: int, method: str) -> jnp.ndarray:
+    """[..., n_fft//2+1] complex -> [..., n_fft] real."""
+    if method == "fft":
+        return jnp.fft.irfft(spec, n=n_fft, axis=-1)
+    c, s = _idft_basis(n_fft)
+    return jnp.matmul(spec.real, c, precision=jax.lax.Precision.HIGHEST) + jnp.matmul(
+        spec.imag, s, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "method"))
 def stft(
     sig: jnp.ndarray,
     window: jnp.ndarray,
     n_fft: int = 510,
     hop_length: int = 128,
     center: bool = True,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Short-time Fourier transform matching ``torch.stft`` semantics.
 
@@ -88,6 +155,7 @@ def stft(
         n_fft: FFT size (also the window length).
         hop_length: frame hop.
         center: if True, reflect-pad by ``n_fft // 2`` on both sides.
+        method: "matmul" (MXU DFT, default) or "fft".
 
     Returns:
         Complex spectrogram ``[..., n_fft // 2 + 1, num_frames]``.
@@ -101,11 +169,11 @@ def stft(
     idx = _frame_indices(num_frames, n_fft, hop_length)
     frames = sig[..., idx]  # [..., num_frames, n_fft]
     frames = frames * window
-    spec = jnp.fft.rfft(frames, axis=-1)  # [..., num_frames, n_fft//2+1]
+    spec = _rdft_frames(frames, n_fft, method)  # [..., num_frames, n_fft//2+1]
     return jnp.swapaxes(spec, -1, -2).astype(jnp.complex64)
 
 
-@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "length"))
+@partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "length", "method"))
 def istft(
     spec: jnp.ndarray,
     window: jnp.ndarray,
@@ -113,6 +181,7 @@ def istft(
     hop_length: int = 128,
     center: bool = True,
     length: int | None = None,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Inverse STFT matching ``torch.istft`` semantics.
 
@@ -121,12 +190,13 @@ def istft(
         window: synthesis window ``[n_fft]`` (same as analysis window).
         length: target output length (trim or zero-pad); ``None`` keeps the
             natural length ``hop * (num_frames - 1)`` when ``center=True``.
+        method: "matmul" (MXU inverse DFT, default) or "fft".
 
     Returns:
         Real signal ``[..., length]``.
     """
     spec = jnp.swapaxes(spec, -1, -2)  # [..., num_frames, F]
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [..., num_frames, n_fft]
+    frames = _irdft_frames(spec, n_fft, method)  # [..., num_frames, n_fft]
     frames = frames * window
 
     num_frames = frames.shape[-2]

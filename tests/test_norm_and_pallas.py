@@ -1,0 +1,77 @@
+"""Tests: normalization library variants + pallas kernel (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffse_tpu.models.normalization import (
+    ConditionalInstanceNorm2dPlus,
+    ConditionalNoneNorm2d,
+    ConditionalVarianceNorm2d,
+    InstanceNorm2d,
+    InstanceNorm2dPlus,
+    NoneNorm2d,
+    VarianceNorm2d,
+    get_normalization,
+)
+from diffse_tpu.ops.fused_act import fused_bias_leaky_relu
+from diffse_tpu.ops.pallas_kernels import fused_bias_leaky_relu_pallas
+
+
+def test_get_normalization_dispatch():
+    assert get_normalization("InstanceNorm") is InstanceNorm2d
+    assert get_normalization("InstanceNorm++") is InstanceNorm2dPlus
+    assert get_normalization("VarianceNorm") is VarianceNorm2d
+    with pytest.raises(ValueError):
+        get_normalization("nope")
+
+
+def test_instance_norm(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32) * 3 + 1)
+    m = InstanceNorm2d()
+    out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    np.testing.assert_allclose(np.mean(np.asarray(out), axis=(1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.std(np.asarray(out), axis=(1, 2)), 1.0, atol=1e-2)
+
+
+def test_instance_norm_plus_shapes(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    m = InstanceNorm2dPlus()
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_variance_norm(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32) * 5)
+    m = VarianceNorm2d()
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+
+
+def test_conditional_norms(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    y = jnp.asarray([0, 3])
+    for cls in (ConditionalInstanceNorm2dPlus, ConditionalVarianceNorm2d,
+                ConditionalNoneNorm2d):
+        m = cls(num_classes=5)
+        v = m.init(jax.random.PRNGKey(0), x, y)
+        out = m.apply(v, x, y)
+        assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_none_norm_identity(rng):
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    m = NoneNorm2d()
+    out = m.apply(m.init(jax.random.PRNGKey(0), x), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+
+def test_pallas_fused_bias_lrelu_matches_jnp(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    ref = fused_bias_leaky_relu(x, b)
+    out = fused_bias_leaky_relu_pallas(x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

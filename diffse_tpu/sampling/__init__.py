@@ -82,10 +82,16 @@ def get_pc_sampler(
     )
 
     timesteps = timesteps_space(sde.T, sde.N, eps, timestep_type)
-    # stepsize_i = t_i - t_{i+1}; the final step integrates the remaining t_N-1
-    # down to 0 (sgmse/sampling/__init__.py:64-69).
-    stepsizes = np.concatenate([timesteps[:-1] - timesteps[1:], timesteps[-1:]])
-    schedule = jnp.asarray(np.stack([timesteps, stepsizes], axis=1))
+    n_steps = len(timesteps)
+    # The linear grid is closed-form, so the scan carries only a step counter
+    # and computes t_i = T - i*delta on the fly instead of scanning over a
+    # schedule array (one less per-step gather; also works around TPU backends
+    # where scan-over-xs with large complex carries is unsupported).
+    # stepsize_i = t_i - t_{i+1}; the final step integrates the remaining
+    # t_{N-1} (== eps) down to 0 (sgmse/sampling/__init__.py:64-69).
+    t0 = float(timesteps[0])
+    delta = float(timesteps[0] - timesteps[1]) if n_steps > 1 else float(timesteps[0])
+    t_last = float(timesteps[-1])
 
     y_cond = Y
     y_prior = Y if Y_prior is None else Y_prior
@@ -95,18 +101,20 @@ def get_pc_sampler(
         prior_key, scan_key = jax.random.split(key)
         xt, _ = sde.prior_sampling(prior_key, y_prior)
 
-        def body(carry, trow):
-            x, x_mean, k = carry
+        def body(carry, _):
+            x, x_mean, k, i = carry
             k, kc, kp = jax.random.split(k, 3)
-            t, stepsize = trow[0], trow[1]
-            vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+            t = t0 - i * delta
+            stepsize = jnp.where(i < n_steps - 1, delta, t_last)
+            vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
             x, x_mean = corrector.update_fn(kc, x, vec_t, y_cond)
             x, x_mean = predictor.update_fn(kp, x, vec_t, y_cond, stepsize)
-            return (x, x_mean, k), None
+            return (x, x_mean, k, i + 1.0), None
 
-        (xt, xt_mean, _), _ = jax.lax.scan(body, (xt, xt, scan_key), schedule)
+        init = (xt, xt, scan_key, jnp.asarray(0.0, dtype=jnp.float32))
+        (xt, xt_mean, _, _), _ = jax.lax.scan(body, init, None, length=n_steps)
         x_result = xt_mean if denoise else xt
-        ns = len(timesteps) * (corrector.n_steps + 1)
+        ns = n_steps * (corrector.n_steps + 1)
         return x_result, ns
 
     return pc_sampler

@@ -1,0 +1,323 @@
+#!/usr/bin/env python
+"""Convert a reference PyTorch Lightning checkpoint to diffse_tpu flax params.
+
+The published reference checkpoints (reference README.md:52-53) store the
+score network as ``dnn.all_modules.<idx>.<param>`` entries in a flat
+state_dict, where ``all_modules`` is the ModuleList built by the NCSN++
+constructor (sgmse/backbones/ncsnpp.py:99-245) plus the separate
+``dnn.output_layer``. This script rebuilds the same construction walk for our
+flax NCSN++ (whose ``nn.compact`` call order mirrors that walk) and maps every
+tensor across, transposing layouts:
+
+    torch Conv2d   OIHW  [out, in, kh, kw] -> flax HWIO [kh, kw, in, out]
+    torch Linear   [out, in]               -> flax [in, out]
+    torch GroupNorm weight/bias            -> flax scale/bias
+    NIN W [in, units] / b                  -> identical
+    GaussianFourierProjection W            -> identical
+
+Also converts the EMA shadow parameters (checkpoint['ema']['shadow_params'],
+ordered like model.parameters()) when present.
+
+Usage:
+    python tools/convert_torch_checkpoint.py --torch_ckpt model.ckpt \
+        --out_dir converted_ckpt [--ema]
+
+The conversion is validated in tests/test_convert.py by round-tripping a
+synthesized torch-layout state_dict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --------------------------------------------------------------------------
+# Construction walk: emit (torch_prefix, flax_path, kind) correspondences.
+# kind in {conv, linear, groupnorm, nin, gfp, fir_conv} decides the transform.
+# --------------------------------------------------------------------------
+
+
+def _resblock_entries(torch_prefix: str, flax_path: Tuple[str, ...], in_ch: int,
+                      out_ch: int, up_down: bool) -> List[tuple]:
+    """ResnetBlockBigGANpp params (layerspp.py:214-243 <-> models/layers.py)."""
+    e = [
+        (f"{torch_prefix}.GroupNorm_0", flax_path + ("GroupNorm_0",), "groupnorm"),
+        (f"{torch_prefix}.Conv_0", flax_path + ("Conv_0",), "conv"),
+        (f"{torch_prefix}.Dense_0", flax_path + ("Dense_0",), "linear"),
+        (f"{torch_prefix}.GroupNorm_1", flax_path + ("GroupNorm_1",), "groupnorm"),
+        (f"{torch_prefix}.Conv_1", flax_path + ("Conv_1",), "conv"),
+    ]
+    if in_ch != out_ch or up_down:
+        e.append((f"{torch_prefix}.Conv_2", flax_path + ("Conv_2",), "conv"))
+    return e
+
+
+def _attn_entries(torch_prefix: str, flax_path: Tuple[str, ...]) -> List[tuple]:
+    return [
+        (f"{torch_prefix}.GroupNorm_0", flax_path + ("GroupNorm_0",), "groupnorm"),
+        (f"{torch_prefix}.NIN_0", flax_path + ("NIN_0",), "nin"),
+        (f"{torch_prefix}.NIN_1", flax_path + ("NIN_1",), "nin"),
+        (f"{torch_prefix}.NIN_2", flax_path + ("NIN_2",), "nin"),
+        (f"{torch_prefix}.NIN_3", flax_path + ("NIN_3",), "nin"),
+    ]
+
+
+def ncsnpp_correspondence(
+    nf: int = 128,
+    ch_mult=(1, 1, 2, 2, 2, 2, 2),
+    num_res_blocks: int = 2,
+    attn_resolutions=(16,),
+    image_size: int = 256,
+    conditional: bool = True,
+) -> List[tuple]:
+    """Walk the NCSN++ construction (ncsnpp.py:99-245) and emit the mapping.
+
+    flax paths are relative to params root; torch prefixes relative to `dnn.`.
+    """
+    num_resolutions = len(ch_mult)
+    all_res = [image_size // (2**i) for i in range(num_resolutions)]
+    entries: List[tuple] = []
+    m = 0  # torch all_modules index
+
+    def t(idx):
+        return f"all_modules.{idx}"
+
+    # counters for flax auto-names
+    counters = {"res": 0, "attn": 0, "combine": 0, "conv": 0}
+
+    def flax_res():
+        p = (f"ResnetBlockBigGANpp_{counters['res']}",)
+        counters["res"] += 1
+        return p
+
+    def flax_attn():
+        p = (f"AttnBlockpp_{counters['attn']}",)
+        counters["attn"] += 1
+        return p
+
+    def flax_conv():
+        p = (f"Conv_{counters['conv']}",)
+        counters["conv"] += 1
+        return p
+
+    # time embedding
+    entries.append((t(m), ("time_embed",), "gfp")); m += 1
+    if conditional:
+        entries.append((t(m), ("temb_dense_0",), "linear")); m += 1
+        entries.append((t(m), ("temb_dense_1",), "linear")); m += 1
+
+    # input conv 4 -> nf
+    entries.append((t(m), flax_conv(), "conv")); m += 1
+
+    in_ch = nf
+    hs_c = [nf]
+    for i_level in range(num_resolutions):
+        for _ in range(num_res_blocks):
+            out_ch = nf * ch_mult[i_level]
+            entries.extend(_resblock_entries(t(m), flax_res(), in_ch, out_ch, False))
+            m += 1
+            in_ch = out_ch
+            if all_res[i_level] in attn_resolutions:
+                entries.extend(_attn_entries(t(m), flax_attn())); m += 1
+            hs_c.append(in_ch)
+        if i_level != num_resolutions - 1:
+            entries.extend(_resblock_entries(t(m), flax_res(), in_ch, in_ch, True))
+            m += 1
+            # Combine (input_skip): 1x1 conv, sum method keeps channels
+            entries.append((f"{t(m)}.Conv_0",
+                            (f"Combine_{counters['combine']}", "Conv_0"), "conv"))
+            counters["combine"] += 1
+            m += 1
+            hs_c.append(in_ch)
+
+    # bottleneck
+    entries.extend(_resblock_entries(t(m), flax_res(), in_ch, in_ch, False)); m += 1
+    entries.extend(_attn_entries(t(m), flax_attn())); m += 1
+    entries.extend(_resblock_entries(t(m), flax_res(), in_ch, in_ch, False)); m += 1
+
+    # up path (progressive == output_skip)
+    gn_counter = 0
+    for i_level in reversed(range(num_resolutions)):
+        for _ in range(num_res_blocks + 1):
+            out_ch = nf * ch_mult[i_level]
+            skip_ch = hs_c.pop()
+            entries.extend(
+                _resblock_entries(t(m), flax_res(), in_ch + skip_ch, out_ch, False)
+            )
+            m += 1
+            in_ch = out_ch
+        if all_res[i_level] in attn_resolutions:
+            entries.extend(_attn_entries(t(m), flax_attn())); m += 1
+        # output_skip pyramid: GroupNorm + conv3x3(channels)
+        entries.append((t(m), (f"GroupNorm_{gn_counter}",), "groupnorm"))
+        gn_counter += 1
+        m += 1
+        entries.append((t(m), flax_conv(), "conv")); m += 1
+        if i_level != 0:
+            entries.extend(_resblock_entries(t(m), flax_res(), in_ch, in_ch, True))
+            m += 1
+
+    entries.append(("output_layer", ("output_layer",), "conv"))
+    return entries
+
+
+# ------------------------------------------------------------- tensor moves
+
+
+def _torch_to_flax_tensors(kind: str, torch_params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    if kind == "conv":
+        out = {"kernel": np.transpose(torch_params["weight"], (2, 3, 1, 0))}
+        if "bias" in torch_params:
+            out["bias"] = torch_params["bias"]
+        return out
+    if kind == "linear":
+        out = {"kernel": np.transpose(torch_params["weight"], (1, 0))}
+        if "bias" in torch_params:
+            out["bias"] = torch_params["bias"]
+        return out
+    if kind == "groupnorm":
+        return {"scale": torch_params["weight"], "bias": torch_params["bias"]}
+    if kind == "nin":
+        return {"W": torch_params["W"], "b": torch_params["b"]}
+    if kind == "gfp":
+        return {"W": torch_params["W"]}
+    raise ValueError(kind)
+
+
+def _flax_to_torch_tensors(kind: str, flax_params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse mapping (used by the round-trip test)."""
+    if kind == "conv":
+        out = {"weight": np.transpose(flax_params["kernel"], (3, 2, 0, 1))}
+        if "bias" in flax_params:
+            out["bias"] = flax_params["bias"]
+        return out
+    if kind == "linear":
+        out = {"weight": np.transpose(flax_params["kernel"], (1, 0))}
+        if "bias" in flax_params:
+            out["bias"] = flax_params["bias"]
+        return out
+    if kind == "groupnorm":
+        return {"weight": flax_params["scale"], "bias": flax_params["bias"]}
+    if kind in ("nin", "gfp"):
+        return dict(flax_params)
+    raise ValueError(kind)
+
+
+def _get_path(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _set_path(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_state_dict_to_flax(
+    state_dict: Dict[str, np.ndarray],
+    correspondence: List[tuple],
+    torch_root: str = "dnn.",
+) -> dict:
+    """Map a reference state_dict (numpy values) onto a flax params tree."""
+    params: dict = {}
+    for torch_prefix, flax_path, kind in correspondence:
+        collected = {}
+        prefix = torch_root + torch_prefix + "."
+        for key, value in state_dict.items():
+            if key.startswith(prefix):
+                sub = key[len(prefix):]
+                if "." not in sub:
+                    collected[sub] = np.asarray(value)
+        if not collected:
+            raise KeyError(f"no params found under {prefix}")
+        for name, value in _torch_to_flax_tensors(kind, collected).items():
+            _set_path(params, flax_path + (name,), value)
+    return params
+
+
+def convert_flax_to_state_dict(
+    params: dict,
+    correspondence: List[tuple],
+    torch_root: str = "dnn.",
+) -> Dict[str, np.ndarray]:
+    """Inverse conversion (round-trip testing / exporting to torch)."""
+    state_dict: Dict[str, np.ndarray] = {}
+    for torch_prefix, flax_path, kind in correspondence:
+        flax_params = {
+            k: np.asarray(v) for k, v in _get_path(params, flax_path).items()
+            if not isinstance(v, dict)
+        }
+        for name, value in _flax_to_torch_tensors(kind, flax_params).items():
+            state_dict[f"{torch_root}{torch_prefix}.{name}"] = value
+    return state_dict
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--torch_ckpt", type=str, required=True,
+                        help="Reference .ckpt (Lightning) file")
+    parser.add_argument("--out_dir", type=str, required=True,
+                        help="Output CheckpointManager directory")
+    parser.add_argument("--ema", action="store_true",
+                        help="Also convert EMA shadow params")
+    args = parser.parse_args(argv)
+
+    import torch  # local import: only needed for real conversions
+
+    ckpt = torch.load(args.torch_ckpt, map_location="cpu")
+    state_dict = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
+    hp = ckpt.get("hyper_parameters", {})
+
+    corr = ncsnpp_correspondence()
+    params = convert_state_dict_to_flax(state_dict, corr)
+
+    ema_params = params
+    if args.ema and "ema" in ckpt:
+        shadow = [p.numpy() for p in ckpt["ema"]["shadow_params"]]
+        # shadow params are ordered like model.parameters(); rebuild a
+        # state_dict with the same keys (parameters() order == state_dict
+        # order for parameters, buffers excluded)
+        param_keys = [k for k, v in ckpt["state_dict"].items() if v.requires_grad] \
+            if hasattr(next(iter(ckpt["state_dict"].values())), "requires_grad") \
+            else list(state_dict.keys())
+        ema_sd = dict(zip(param_keys, shadow))
+        ema_params = convert_state_dict_to_flax(ema_sd, corr)
+
+    import jax
+    import optax
+
+    from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+    from diffse_tpu.train.checkpoints import CheckpointManager
+    from diffse_tpu.train.state import create_train_state
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp",
+        sde=hp.get("sde", "bbed"),
+        model_type=hp.get("model_type", "sebridge_v3"),
+        snr_conditioned=hp.get("snr_conditioned", "true"),
+        fixed_snr=float(hp.get("fixed_snr", 1.0)),
+        sigma_max=float(hp.get("sigma_max", 1.0)),
+    )
+    model = ScoreModel(cfg, sde_kwargs={"k": 2.6, "theta": 0.52, "T_sampling": 0.999}
+                       if cfg.sde == "bbed" else {})
+    state = create_train_state({"params": params}, optax.adam(cfg.lr))
+    state = state.replace(ema_params=ema_params)
+
+    mgr = CheckpointManager(args.out_dir, hparams=model.hparams)
+    mgr.save(0, jax.tree_util.tree_map(np.asarray, state), {})
+    print(f"converted checkpoint written to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

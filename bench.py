@@ -3,37 +3,66 @@
 
 Measures the headline BASELINE.json metric — real-time factor for enhancing
 VBD-style utterances with the production NCSN++ (~65M params) at N=30 reverse
-steps (reverse_diffusion predictor + ALD corrector, 60 NFE), with the whole
-normalize -> STFT -> 30-step lax.scan sampler -> iSTFT pipeline compiled into
-ONE XLA program (zero host round-trips; the reference does 60 CUDA launches +
-60 scipy-expi CPU round-trips per utterance, sgmse/sdes.py:287-293).
+steps (reverse_diffusion predictor + ALD corrector, 60 NFE). The whole
+normalize -> STFT -> 30-step lax.scan sampler -> iSTFT pipeline is compiled
+into ONE XLA program (zero host round-trips; the reference does 60 CUDA
+launches + 60 scipy-expi CPU round-trips per utterance, sgmse/sdes.py:287-293).
 
-Prints ONE JSON line:
+Robustness: the experimental axon TPU bridge has very slow/flaky compiles for
+large fused programs, so the benchmark runs a fallback ladder of stages in
+isolated subprocesses (a failed compile can poison the PJRT client):
+
+  fused_b4  — one jitted program, batch 4
+  fused_b1  — one jitted program, batch 1
+  stepwise  — jitted per-step function, python loop over 30 steps
+
+The first stage that completes wins. Prints ONE JSON line:
   {"metric": "rtf_x_realtime_bbed_n30", "value": <x realtime per chip>,
    "unit": "x_realtime", "vs_baseline": value / 10.0}
 (vs_baseline is relative to the >10x real-time target; >1.0 beats it.)
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
-from diffse_tpu.sampling import get_pc_sampler
-from diffse_tpu.transforms import pad_spec
-
 SR = 16000
-BATCH = 4
-NUM_FRAMES = 256  # 2.048 s per utterance (the training crop length)
+NUM_FRAMES = 64  # per-chunk width bucket (production chunks; eval pads to x64)
 N_STEPS = 30
 REPEATS = 3
 
+STAGES = [
+    ("fused_b4", 480),
+    ("fused_b1", 420),
+    ("stepwise", 420),
+]
 
-def main():
+
+def run_stage(stage: str):
+    """Executed inside a subprocess: do the measurement, print RESULT json."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+    from diffse_tpu.sampling import get_pc_sampler
+    from diffse_tpu.sampling.correctors import AnnealedLangevinDynamics
+    from diffse_tpu.sampling.predictors import ReverseDiffusionPredictor
+    from diffse_tpu.transforms import pad_spec
+
+    batch = 4 if stage == "fused_b4" else 1
+
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type="bbed", snr_conditioned="false",
         sigma_max=0.5,
@@ -45,56 +74,137 @@ def main():
 
     rng = np.random.default_rng(0)
     audio_len = (NUM_FRAMES - 1) * cfg.hop_length
-    y_wav = jnp.asarray(rng.standard_normal((BATCH, audio_len)).astype(np.float32) * 0.1)
+    y_wav = jnp.asarray(rng.standard_normal((batch, audio_len)).astype(np.float32) * 0.1)
 
-    print("initializing params...", file=sys.stderr)
-    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=NUM_FRAMES)
+    # init params eagerly on the CPU backend (fast op-by-op) and ship to TPU
+    print(f"[{stage}] initializing params on cpu...", file=sys.stderr, flush=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init_variables(jax.random.PRNGKey(0), num_frames=NUM_FRAMES)
+    variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
+    print(f"[{stage}] init done", file=sys.stderr, flush=True)
 
-    def enhance_batch(variables, y_wav, key):
-        norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
-        y = y_wav / norm
-        Y = pad_spec(model._forward_transform(model._stft(y))[:, None])
-        score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
-        sampler = get_pc_sampler(
-            "reverse_diffusion", "ald", sde=model.sde, score_fn=score_fn, Y=Y,
-            denoise=True, eps=cfg.t_eps, snr=0.5, corrector_steps=1,
-        )
-        sample, _ = sampler(key)
-        x_hat = model.to_audio(sample[:, 0])
-        return x_hat * norm
+    score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
+    sde = model.sde
 
-    fn = jax.jit(enhance_batch)
+    if stage.startswith("fused"):
+        def enhance_batch(y_wav, key):
+            norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+            y = y_wav / norm
+            Y = pad_spec(model._forward_transform(model._stft(y))[:, None])
+            sampler = get_pc_sampler(
+                "reverse_diffusion", "ald", sde=sde, score_fn=score_fn, Y=Y,
+                denoise=True, eps=cfg.t_eps, snr=0.5, corrector_steps=1,
+            )
+            sample, _ = sampler(key)
+            x_hat = model.to_audio(sample[:, 0])
+            return x_hat * norm
 
-    print("compiling (first call)...", file=sys.stderr)
-    t0 = time.time()
-    out = fn(variables, y_wav, jax.random.PRNGKey(1))
-    out.block_until_ready()
-    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for i in range(REPEATS):
+        fn = jax.jit(enhance_batch)
+        print(f"[{stage}] compiling fused program...", file=sys.stderr, flush=True)
         t0 = time.time()
-        out = fn(variables, y_wav, jax.random.PRNGKey(2 + i))
-        out.block_until_ready()
-        times.append(time.time() - t0)
-    wall = min(times)
+        fn(y_wav, jax.random.PRNGKey(1)).block_until_ready()
+        print(f"[{stage}] compile+first run: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
 
-    audio_seconds = BATCH * audio_len / SR
+        times = []
+        for i in range(REPEATS):
+            t0 = time.time()
+            fn(y_wav, jax.random.PRNGKey(2 + i)).block_until_ready()
+            times.append(time.time() - t0)
+        wall = min(times)
+    else:
+        # stepwise: jit one (corrector+predictor) step; python-loop the schedule
+        norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+        Y = pad_spec(model._forward_transform(model._stft(y_wav / norm))[:, None])
+        predictor = ReverseDiffusionPredictor(sde, score_fn)
+        corrector = AnnealedLangevinDynamics(sde, score_fn, snr=0.5, n_steps=1)
+
+        @jax.jit
+        def step(key, x, t, stepsize):
+            vec_t = jnp.full((batch,), 1.0) * t
+            kc, kp = jax.random.split(key)
+            x, _ = corrector.update_fn(kc, x, vec_t, Y)
+            x, x_mean = predictor.update_fn(kp, x, vec_t, Y, stepsize)
+            return x, x_mean
+
+        @jax.jit
+        def finish(x_mean):
+            return model.to_audio(x_mean[:, 0]) * norm
+
+        ts = np.linspace(sde.T, cfg.t_eps, N_STEPS)
+        steps = np.concatenate([ts[:-1] - ts[1:], ts[-1:]])
+
+        def run(key):
+            pk, key = jax.random.split(key)
+            x, _ = sde.prior_sampling(pk, Y)
+            x_mean = x
+            for i in range(N_STEPS):
+                key, sk = jax.random.split(key)
+                x, x_mean = step(sk, x, float(ts[i]), float(steps[i]))
+            return finish(x_mean)
+
+        print(f"[{stage}] compiling step program...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        run(jax.random.PRNGKey(1)).block_until_ready()
+        print(f"[{stage}] compile+first run: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        times = []
+        for i in range(REPEATS):
+            t0 = time.time()
+            run(jax.random.PRNGKey(2 + i)).block_until_ready()
+            times.append(time.time() - t0)
+        wall = min(times)
+
+    audio_seconds = batch * audio_len / SR
     rtf_x = audio_seconds / wall
-    utterances_per_sec = BATCH / wall
-
     result = {
         "metric": "rtf_x_realtime_bbed_n30",
         "value": round(rtf_x, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf_x / 10.0, 3),
-        "utterances_per_sec_per_chip": round(utterances_per_sec, 3),
-        "batch": BATCH,
+        "utterances_per_sec_per_chip": round(batch / wall, 3),
+        "audio_seconds_per_run": round(audio_seconds, 3),
+        "batch": batch,
+        "num_frames": NUM_FRAMES,
         "nfe": 2 * N_STEPS,
         "wall_s_per_batch": round(wall, 4),
+        "stage": stage,
         "device": str(jax.devices()[0]),
     }
-    print(json.dumps(result))
+    print("RESULT " + json.dumps(result), flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--stage":
+        run_stage(sys.argv[2])
+        return
+
+    for stage, timeout in STAGES:
+        print(f"=== trying stage {stage} (timeout {timeout}s)", file=sys.stderr, flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--stage", stage],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"=== stage {stage} timed out", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                print(line[len("RESULT "):])
+                return
+        print(f"=== stage {stage} failed (rc={proc.returncode})", file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "rtf_x_realtime_bbed_n30",
+        "value": 0.0,
+        "unit": "x_realtime",
+        "vs_baseline": 0.0,
+        "error": "all benchmark stages failed (TPU compile service unavailable)",
+    }))
 
 
 if __name__ == "__main__":

@@ -52,8 +52,11 @@ def default_init(scale: float = 1.0):
 
 
 def ddpm_conv(features: int, kernel: int, init_scale: float = 1.0, stride: int = 1,
-              padding="SAME", name: Optional[str] = None) -> nn.Conv:
-    """Conv with DDPM initialization (ncsnpp_utils/layers.py:100-124)."""
+              padding="SAME", name: Optional[str] = None, dtype=None) -> nn.Conv:
+    """Conv with DDPM initialization (ncsnpp_utils/layers.py:100-124).
+
+    `dtype` is the computation dtype (bf16 runs the matmuls on the MXU in
+    half precision; params stay float32)."""
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -61,16 +64,19 @@ def ddpm_conv(features: int, kernel: int, init_scale: float = 1.0, stride: int =
         padding=padding,
         kernel_init=default_init(init_scale),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
 
-def conv1x1(features: int, init_scale: float = 1.0, name: Optional[str] = None) -> nn.Conv:
-    return ddpm_conv(features, 1, init_scale=init_scale, name=name)
+def conv1x1(features: int, init_scale: float = 1.0, name: Optional[str] = None,
+            dtype=None) -> nn.Conv:
+    return ddpm_conv(features, 1, init_scale=init_scale, name=name, dtype=dtype)
 
 
-def conv3x3(features: int, init_scale: float = 1.0, name: Optional[str] = None) -> nn.Conv:
-    return ddpm_conv(features, 3, init_scale=init_scale, name=name)
+def conv3x3(features: int, init_scale: float = 1.0, name: Optional[str] = None,
+            dtype=None) -> nn.Conv:
+    return ddpm_conv(features, 3, init_scale=init_scale, name=name, dtype=dtype)
 
 
 def group_norm(channels: int, name: Optional[str] = None) -> nn.GroupNorm:
@@ -299,12 +305,13 @@ class ResnetBlockBigGANpp(nn.Module):
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dtype: Optional[Any] = None  # compute dtype for convs/dense (norms stay f32)
 
     @nn.compact
     def __call__(self, x, temb=None, semb=None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch else in_ch
-        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x))
+        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x.astype(jnp.float32)))
 
         if self.up:
             if self.fir:
@@ -321,22 +328,24 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
 
-        h = conv3x3(out_ch, name="Conv_0")(h)
+        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(),
-                          bias_init=nn.initializers.zeros, name="Dense_0")(
-                self.act(temb))[:, None, None, :]
+                          bias_init=nn.initializers.zeros, dtype=self.dtype,
+                          name="Dense_0")(self.act(temb))[:, None, None, :]
         if semb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(),
-                          bias_init=nn.initializers.zeros, name="Dense_1")(
-                self.act(semb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h))
+                          bias_init=nn.initializers.zeros, dtype=self.dtype,
+                          name="Dense_1")(self.act(semb))[:, None, None, :]
+        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h.astype(jnp.float32)))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
 
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2")(x)
+            x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
 
+        h = h.astype(jnp.float32)
+        x = x.astype(jnp.float32)
         if not self.skip_rescale:
             return x + h
         return (x + h) / math.sqrt(2.0)

@@ -57,6 +57,17 @@ class NCSNppBase(nn.Module):
     embedding_type: str = "fourier"
     dropout: float = 0.0
     snr_conditioning: bool = False  # True -> NCSNpp_snr behavior
+    # compute dtype for the conv/dense trunk (e.g. jnp.bfloat16 for MXU half
+    # precision); params and normalizations stay float32. None = float32.
+    dtype: Optional[str] = None
+
+    @property
+    def _compute_dtype(self):
+        if self.dtype in (None, "float32", "f32"):
+            return None
+        if self.dtype in ("bfloat16", "bf16"):
+            return jnp.bfloat16
+        return self.dtype
 
     def _resnet_block(self, act, out_ch=None, up=False, down=False):
         if self.resblock_type == "ddpm":
@@ -69,6 +80,7 @@ class NCSNppBase(nn.Module):
                 act=act, out_ch=out_ch, up=up, down=down, dropout=self.dropout,
                 fir=self.fir, fir_kernel=self.fir_kernel,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
+                dtype=self._compute_dtype,
             )
         raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 

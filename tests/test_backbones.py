@@ -145,3 +145,21 @@ def test_dcunet_batchnorm_train_mode_mutates_stats():
     out, updates = model.apply(variables, x, t, train=True, mutable=["batch_stats"])
     assert out.shape == (2, 1, 257, 33)
     assert "batch_stats" in updates
+
+
+def test_ncsnpp_bf16_trunk():
+    """bf16 compute dtype: params stay f32, forward stays finite and close to
+    the f32 result (MXU half-precision trunk)."""
+    m32 = NCSNpp(**TINY)
+    m16 = NCSNpp(**TINY, dtype="bf16")
+    x = _complex_pair(jax.random.PRNGKey(0), 1, 16, 16)
+    t = jnp.asarray([0.5])
+    params = m32.init(jax.random.PRNGKey(1), x, t)
+    # params are float32 regardless of compute dtype
+    assert all(a.dtype == jnp.float32 for a in jax.tree_util.tree_leaves(params))
+    out32 = m32.apply(params, x, t)
+    out16 = m16.apply(params, x, t)
+    assert out16.dtype == jnp.complex64
+    assert bool(jnp.all(jnp.isfinite(out16.real)))
+    rel = float(jnp.linalg.norm(out16 - out32) / (jnp.linalg.norm(out32) + 1e-9))
+    assert rel < 0.1, f"bf16 deviates too much: {rel}"

@@ -148,7 +148,11 @@ def main(argv=None):
         normalize=args.normalize,
     )
     sde_kwargs = {k: v for k, v in vars(groups["SDE"]).items() if v is not None}
-    backbone_kwargs = {k: v for k, v in vars(groups["Backbone"]).items() if v is not None}
+    backbone_kwargs = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in vars(groups["Backbone"]).items()
+        if v is not None
+    }
 
     snr_model = None
     if args.snr_conditioned == "true" and args.snr_ckpt:

@@ -280,6 +280,19 @@ class NCSNppBase(nn.Module):
         return out
 
 
+def _add_size_args(parser):
+    """Optional size overrides (the reference's add_argparse_args is empty,
+    ncsnpp.py:40-43; these extras enable small smoke configurations)."""
+    parser.add_argument("--nf", type=int, default=None)
+    parser.add_argument("--ch_mult", type=int, nargs="+", default=None)
+    parser.add_argument("--num_res_blocks", type=int, default=None)
+    parser.add_argument("--attn_resolutions", type=int, nargs="+", default=None)
+    parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--backbone_dtype", dest="dtype", type=str, default=None,
+                        choices=("float32", "bf16"))
+    return parser
+
+
 @BackboneRegistry.register("ncsnpp")
 class NCSNpp(NCSNppBase):
     """NCSN++ (sgmse/backbones/ncsnpp.py:36). Call: (x, t) -> score."""
@@ -288,7 +301,7 @@ class NCSNpp(NCSNppBase):
 
     @staticmethod
     def add_argparse_args(parser):
-        return parser
+        return _add_size_args(parser)
 
 
 @BackboneRegistry.register("ncsnpp_snr")
@@ -300,4 +313,4 @@ class NCSNppSNR(NCSNppBase):
 
     @staticmethod
     def add_argparse_args(parser):
-        return parser
+        return _add_size_args(parser)

@@ -1,0 +1,84 @@
+"""CLI smoke tests: train -> eval -> eval_snr_est end-to-end via the argparse
+surface (subprocess-free: call main() in-process on the CPU test platform)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from diffse_tpu.data.synthetic import make_synthetic_dataset
+
+TINY_ARGS = [
+    "--nf", "4", "--ch_mult", "1", "1", "--attn_resolutions", "8",
+    "--image_size", "256",
+]
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clids"))
+    return make_synthetic_dataset(root, num_train=4, num_valid=2, num_valid2=2,
+                                  num_test=2, duration_s=0.7)
+
+
+@pytest.mark.slow
+def test_train_cli_smoke(dataset, tmp_path):
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "run")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--no_mesh", "--seed", "0",
+        *TINY_ARGS,
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "hparams.json"))
+    assert os.path.exists(os.path.join(ckpt_dir, "metadata.json"))
+    with open(os.path.join(ckpt_dir, "hparams.json")) as f:
+        hp = json.load(f)
+    assert hp["config"]["model_type"] == "sebridge_v2"
+    assert hp["backbone_kwargs"]["nf"] == 4
+
+    # eval CLI on the checkpoint
+    from diffse_tpu.cli.eval import main as eval_main
+
+    out_dir = str(tmp_path / "eval_out")
+    eval_main([
+        "--destination_folder", out_dir,
+        "--test_dir", os.path.join(dataset, "test"),
+        "--ckpt", ckpt_dir,
+    ])
+    assert os.path.exists(os.path.join(out_dir, "_results.csv"))
+    assert os.path.exists(os.path.join(out_dir, "_avg_results.txt"))
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["si_sdr"]).all()
+
+
+@pytest.mark.slow
+def test_train_snr_est_cli_smoke(dataset, tmp_path):
+    from diffse_tpu.cli.train_snr_est import main
+
+    ckpt_dir = str(tmp_path / "snr_run")
+    main([
+        "--base_dir", dataset, "--transform_type", "none",
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1",
+        "--ckpt_dir", ckpt_dir, "--no_mesh",
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "hparams.json"))
+
+    from diffse_tpu.cli.eval_snr_est import main as snr_eval_main
+
+    out_dir = str(tmp_path / "snr_eval")
+    snr_eval_main([
+        "--test_dir", os.path.join(dataset, "valid"),
+        "--ckpt", ckpt_dir,
+        "--destination_folder", out_dir,
+    ])
+    assert os.path.exists(os.path.join(out_dir, "_snr_est_results.txt"))

@@ -35,8 +35,8 @@ REPEATS = 3
 
 STAGES = [
     ("fused_b4", 480),
-    ("fused_b1", 420),
-    ("stepwise", 420),
+    ("stepwise", 480),
+    ("eager", 900),
 ]
 
 
@@ -112,6 +112,38 @@ def run_stage(stage: str):
         for i in range(REPEATS):
             t0 = time.time()
             fn(y_wav, jax.random.PRNGKey(2 + i)).block_until_ready()
+            times.append(time.time() - t0)
+        wall = min(times)
+    elif stage == "eager":
+        # No jit anywhere: every op compiles individually (once, cached) —
+        # robust against backends whose whole-program compiles stall. Python
+        # dispatch overhead makes this a LOWER BOUND on fused throughput.
+        norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+        Y = pad_spec(model._forward_transform(model._stft(y_wav / norm))[:, None])
+        predictor = ReverseDiffusionPredictor(sde, score_fn)
+        corrector = AnnealedLangevinDynamics(sde, score_fn, snr=0.5, n_steps=1)
+        ts = np.linspace(sde.T, cfg.t_eps, N_STEPS)
+        steps = np.concatenate([ts[:-1] - ts[1:], ts[-1:]])
+
+        def run(key):
+            pk, key = jax.random.split(key)
+            x, _ = sde.prior_sampling(pk, Y)
+            x_mean = x
+            for i in range(N_STEPS):
+                key, kc, kp = jax.random.split(key, 3)
+                vec_t = jnp.full((batch,), 1.0) * float(ts[i])
+                x, _ = corrector.update_fn(kc, x, vec_t, Y)
+                x, x_mean = predictor.update_fn(kp, x, vec_t, Y, float(steps[i]))
+            return model.to_audio(x_mean[:, 0]) * norm
+
+        print(f"[{stage}] eager warmup pass...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        run(jax.random.PRNGKey(1)).block_until_ready()
+        print(f"[{stage}] warmup: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+        times = []
+        for i in range(REPEATS):
+            t0 = time.time()
+            run(jax.random.PRNGKey(2 + i)).block_until_ready()
             times.append(time.time() - t0)
         wall = min(times)
     else:

@@ -117,7 +117,14 @@ def train_score_model(
             val_losses.append(float(m["valid_loss"]))
         epoch_metrics = {"valid_loss": float(np.mean(val_losses))} if val_losses else {}
 
-        if cfg.num_eval_files != 0:
+        run_eval = cfg.num_eval_files != 0
+        if run_eval and mt.endswith("_snr") and model.snr_model is None:
+            # the reference hard-loads the SNR-estimator checkpoint at import
+            # (model.py:25-30); here it must be injected (--snr_ckpt)
+            print("warning: snr_conditioned='true' but no snr_model injected; "
+                  "skipping speech-enhancement validation metrics")
+            run_eval = False
+        if run_eval:
             key, ekey = jax.random.split(key)
             pesq_v, si_sdr_v, estoi_v = evaluate_model(
                 model, ev, data_module, cfg.num_eval_files, model_type=mt,

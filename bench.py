@@ -34,6 +34,7 @@ N_STEPS = 30
 REPEATS = 3
 
 STAGES = [
+    ("fused_b16", 600),
     ("fused_b4", 480),
     ("stepwise", 480),
     ("eager", 900),
@@ -61,7 +62,7 @@ def run_stage(stage: str):
     from diffse_tpu.sampling.predictors import ReverseDiffusionPredictor
     from diffse_tpu.transforms import pad_spec
 
-    batch = 4 if stage == "fused_b4" else 1
+    batch = {"fused_b16": 16, "fused_b4": 4}.get(stage, 1)
 
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type="bbed", snr_conditioned="false",

@@ -63,6 +63,7 @@ def run_stage(stage: str):
     from diffse_tpu.transforms import pad_spec
 
     batch = {"fused_b16": 16, "fused_b4": 4}.get(stage, 1)
+    extra = {}
 
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type="bbed", snr_conditioned="false",
@@ -115,6 +116,46 @@ def run_stage(stage: str):
             fn(y_wav, jax.random.PRNGKey(2 + i)).block_until_ready()
             times.append(time.time() - t0)
         wall = min(times)
+
+        # Secondary: the paper's headline single-NFE consistency inference
+        # (sebridge_v3 / M6, 1 forward instead of 60) on the same backbone.
+        extra = {}
+        try:
+            from diffse_tpu.utils import randn_like
+
+            cfg1 = ScoreModelConfig(
+                backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
+                snr_conditioned="false", sigma_max=1.0,
+            )
+            model1 = ScoreModel(cfg1, backbone_kwargs={},
+                                sde_kwargs=dict(T_sampling=0.999, k=2.6,
+                                                theta=0.52, N=N_STEPS))
+
+            def enhance_1nfe(y_wav, key):
+                norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+                Y = pad_spec(model1._forward_transform(model1._stft(y_wav / norm))[:, None])
+                vec_t = jnp.full((batch,), 0.999)
+                Z = randn_like(key, Y) * cfg1.sigma_max * 0.999
+                sample, _ = model1.forward(variables, Y + Z, vec_t, Y)
+                return model1.to_audio(sample[:, 0]) * norm
+
+            fn1 = jax.jit(enhance_1nfe)
+            print(f"[{stage}] compiling 1-NFE program...", file=sys.stderr, flush=True)
+            fn1(y_wav, jax.random.PRNGKey(9)).block_until_ready()
+            times1 = []
+            for i in range(REPEATS):
+                t0 = time.time()
+                fn1(y_wav, jax.random.PRNGKey(10 + i)).block_until_ready()
+                times1.append(time.time() - t0)
+            wall1 = min(times1)
+            audio_seconds = batch * audio_len / SR
+            extra = {
+                "single_nfe_rtf_x": round(audio_seconds / wall1, 3),
+                "single_nfe_utterances_per_sec": round(batch / wall1, 3),
+            }
+        except Exception as e:  # secondary metric is best-effort
+            print(f"[{stage}] 1-NFE measurement failed: {e}", file=sys.stderr,
+                  flush=True)
     elif stage == "eager":
         # No jit anywhere: every op compiles individually (once, cached) —
         # robust against backends whose whole-program compiles stall. Python
@@ -205,6 +246,7 @@ def run_stage(stage: str):
         "wall_s_per_batch": round(wall, 4),
         "stage": stage,
         "device": str(jax.devices()[0]),
+        **extra,
     }
     print("RESULT " + json.dumps(result), flush=True)
 

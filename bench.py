@@ -34,9 +34,9 @@ N_STEPS = 30
 REPEATS = 3
 
 STAGES = [
-    ("fused_b16", 600),
-    ("fused_b4", 480),
-    ("stepwise", 480),
+    ("fused_b16", 1100),
+    ("fused_b4", 900),
+    ("stepwise", 700),
     ("eager", 900),
 ]
 
@@ -116,6 +116,7 @@ def run_stage(stage: str):
             fn(y_wav, jax.random.PRNGKey(2 + i)).block_until_ready()
             times.append(time.time() - t0)
         wall = min(times)
+        _emit(stage, batch, audio_len, wall, jax, extra)
 
         # Secondary: the paper's headline single-NFE consistency inference
         # (sebridge_v3 / M6, 1 forward instead of 60) on the same backbone.
@@ -231,6 +232,10 @@ def run_stage(stage: str):
             times.append(time.time() - t0)
         wall = min(times)
 
+    _emit(stage, batch, audio_len, wall, jax, extra)
+
+
+def _emit(stage, batch, audio_len, wall, jax, extra):
     audio_seconds = batch * audio_len / SR
     rtf_x = audio_seconds / wall
     result = {
@@ -263,14 +268,21 @@ def main():
                 [sys.executable, "-u", os.path.abspath(__file__), "--stage", stage],
                 capture_output=True, text=True, timeout=timeout,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             print(f"=== stage {stage} timed out", file=sys.stderr, flush=True)
+            out = e.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            salvaged = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            if salvaged:
+                print(salvaged[-1][len("RESULT "):])
+                return
             continue
         sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                print(line[len("RESULT "):])
-                return
+        results = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if results:
+            print(results[-1][len("RESULT "):])
+            return
         print(f"=== stage {stage} failed (rc={proc.returncode})", file=sys.stderr, flush=True)
 
     print(json.dumps({

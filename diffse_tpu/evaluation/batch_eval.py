@@ -1,0 +1,92 @@
+"""Bucketed batch enhancement for full test-set evaluation.
+
+The reference enhances one utterance at a time (eval.py:119-132). For
+production serving and full-VBD throughput, this driver groups utterances by
+padded spectrogram width (multiples of 64 frames — the NCSN++ shape contract),
+zero-pads each bucket's waveforms to a common length, and runs ONE jitted
+batched enhancement per bucket fill. Per-file trims restore exact lengths.
+
+Only a handful of distinct width buckets exist for VBD (1-10 s utterances),
+so jit recompilation is bounded; each (branch, width, batch) program is
+cached.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.score_model import ScoreModel
+from .inference import _eval_fn
+
+
+def width_bucket(num_samples: int, hop_length: int = 128, multiple: int = 64) -> int:
+    """Padded frame count for an utterance of `num_samples` samples."""
+    frames = 1 + num_samples // hop_length
+    return frames + (multiple - frames % multiple) % multiple
+
+
+def iter_buckets(
+    wav_lengths: Sequence[int],
+    batch_size: int,
+    hop_length: int = 128,
+) -> Iterator[Tuple[int, List[int]]]:
+    """Group utterance indices into (bucket_frames, [indices]) batches."""
+    buckets: Dict[int, List[int]] = defaultdict(list)
+    for idx, n in enumerate(wav_lengths):
+        buckets[width_bucket(n, hop_length)].append(idx)
+    for t_pad in sorted(buckets):
+        idxs = buckets[t_pad]
+        for i in range(0, len(idxs), batch_size):
+            yield t_pad, idxs[i : i + batch_size]
+
+
+def batch_enhance(
+    model: ScoreModel,
+    variables,
+    x_wavs: Sequence[np.ndarray],
+    y_wavs: Sequence[np.ndarray],
+    model_type: str,
+    key: jax.Array,
+    batch_size: int = 8,
+    est_snrs: Optional[Sequence[float]] = None,
+    fixed_snr: Optional[float] = None,
+) -> List[np.ndarray]:
+    """Enhance a list of utterances with bucketed batching.
+
+    NOTE on semantics: within a batch the normalization factor and (for *_snr
+    branches) the estimated-SNR correction use batch-level reductions in
+    `_eval_fn` only if written per-row; `_eval_fn` computes `max(|y|)` over
+    the whole array, so batching uses a per-bucket global normalizer. For
+    exact per-utterance parity use batch_size=1; for throughput-oriented
+    serving the difference is the scalar normalizer only.
+    """
+    hop = model.cfg.hop_length
+    lengths = [int(y.shape[-1]) for y in y_wavs]
+    out: List[Optional[np.ndarray]] = [None] * len(y_wavs)
+
+    for bi, (t_pad, idxs) in enumerate(iter_buckets(lengths, batch_size, hop)):
+        pad_samples = (t_pad - 1) * hop
+        xb = np.zeros((len(idxs), pad_samples), dtype=np.float32)
+        yb = np.zeros((len(idxs), pad_samples), dtype=np.float32)
+        for row, idx in enumerate(idxs):
+            n = min(lengths[idx], pad_samples)
+            xb[row, :n] = np.asarray(x_wavs[idx]).reshape(-1)[:n]
+            yb[row, :n] = np.asarray(y_wavs[idx]).reshape(-1)[:n]
+
+        fn = _eval_fn(model, model_type, t_pad, fixed_snr=fixed_snr)
+        est = 1.0
+        if est_snrs is not None:
+            est = float(np.mean([est_snrs[i] for i in idxs]))
+        x_hat = np.asarray(
+            fn(variables, jnp.asarray(xb), jnp.asarray(yb),
+               jax.random.fold_in(key, bi), jnp.asarray(est, dtype=jnp.float32))
+        )
+        for row, idx in enumerate(idxs):
+            out[idx] = x_hat[row, : lengths[idx]]
+
+    return out  # type: ignore[return-value]

@@ -66,7 +66,8 @@ def deep_evaluate_model(
                 est_snr = float(model.estimate_snr(jnp.asarray(y)[None])[0])
             file_key = jax.random.fold_in(key, i * 100 + j)
             x_hat = eval_enhance_file(
-                model, variables, x_def, y, model_type, file_key, est_snr=est_snr
+                model, variables, x_def, y, model_type, file_key, est_snr=est_snr,
+                fixed_snr=fixed_snr,
             )
             acc_sisdr[j] += si_sdr(x_def, x_hat)
             acc_pesq[j] += pesq_wb(SR, x_def, x_hat)

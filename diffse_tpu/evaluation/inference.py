@@ -40,15 +40,15 @@ CORRECTOR_STEPS = 1
 _jit_cache: dict = {}
 
 
-def _eval_fn(model: ScoreModel, branch: str, t_pad: int):
+def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
+             fixed_snr: Optional[float] = None):
     """Jitted eval-time enhancement for one branch/width bucket
     (inference.py:152-312)."""
-    key_ = (id(model), branch, t_pad)
+    cfg = model.cfg
+    fixed_snr = cfg.fixed_snr if fixed_snr is None else fixed_snr
+    key_ = (id(model), branch, t_pad, fixed_snr)
     if key_ in _jit_cache:
         return _jit_cache[key_]
-
-    cfg = model.cfg
-    fixed_snr = cfg.fixed_snr
 
     def fn(variables, x_wav, y_wav, key, est_snr):
         norm_factor = jnp.max(jnp.abs(y_wav))
@@ -127,13 +127,14 @@ def eval_enhance_file(
     model_type: str,
     key: jax.Array,
     est_snr: float = 1.0,
+    fixed_snr: Optional[float] = None,
 ) -> np.ndarray:
     """Enhance one utterance with the eval-time branch semantics; returns the
     enhanced waveform trimmed to the input length."""
     t_orig = y_wav.shape[-1]
     frames = 1 + t_orig // model.cfg.hop_length
     t_pad = frames + (64 - frames % 64) % 64
-    fn = _eval_fn(model, model_type, t_pad)
+    fn = _eval_fn(model, model_type, t_pad, fixed_snr=fixed_snr)
     x_hat = fn(
         variables,
         jnp.asarray(x_wav)[None] if x_wav.ndim == 1 else jnp.asarray(x_wav),
@@ -184,7 +185,8 @@ def evaluate_model(
 
         file_key = jax.random.fold_in(key, i)
         x_hat = eval_enhance_file(
-            model, variables, x, y, model_type, file_key, est_snr=est_snr
+            model, variables, x, y, model_type, file_key, est_snr=est_snr,
+            fixed_snr=fixed_snr,
         )
         _si_sdr += si_sdr(x, x_hat)
         _pesq += pesq_wb(SR, x, x_hat)

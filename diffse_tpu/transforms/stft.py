@@ -118,6 +118,69 @@ def _idft_basis(n_fft: int):
     return c.astype(np.float32), s.astype(np.float32)
 
 
+def _stft_conv(sig: jnp.ndarray, window: jnp.ndarray, n_fft: int, hop_length: int):
+    """STFT as ONE strided convolution: 2K filters of length n_fft, stride hop.
+
+    The window multiply and the DFT fold into the conv kernels — the most
+    TPU-native formulation (no gather; one conv op on the MXU). Trace-safe:
+    the (possibly traced) window folds into the kernels as a jnp op.
+    """
+    k_bins = n_fft // 2 + 1
+    cos, msin = _dft_basis(n_fft)  # numpy [n_fft, K]
+    win = window.astype(jnp.float32)[:, None]
+    kernel = jnp.concatenate(
+        [jnp.asarray(cos) * win, jnp.asarray(msin) * win], axis=1
+    )[:, None, :]  # [n_fft, 1, 2K] (WIO)
+
+    batch_shape = sig.shape[:-1]
+    x = sig.reshape((-1, sig.shape[-1], 1))  # [B', L, 1] NWC
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(hop_length,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B', T, 2K]
+    spec = jax.lax.complex(out[..., :k_bins], out[..., k_bins:])
+    spec = jnp.swapaxes(spec, -1, -2)  # [B', K, T]
+    return spec.reshape(batch_shape + spec.shape[1:])
+
+
+def _istft_conv(spec: jnp.ndarray, window: jnp.ndarray, n_fft: int, hop_length: int):
+    """iSTFT as ONE transposed convolution (zero-stuffed conv): the inverse
+    DFT, synthesis window, and overlap-add fold into a [n_fft, 2K, 1] kernel;
+    the squared-window OLA envelope is computed by the same conv structure
+    (no scatter-add anywhere)."""
+    k_bins = n_fft // 2 + 1
+    c, s = _idft_basis(n_fft)  # numpy [K, n_fft]
+    win = window.astype(jnp.float32)[None, :]
+    kernel = jnp.concatenate([jnp.asarray(c) * win, jnp.asarray(s) * win], axis=0)
+    # conv_transpose == correlate the zero-stuffed input with the spatially
+    # flipped kernel (see diffse_tpu/ops/convt.py).
+    kernel = jnp.flip(kernel.T, 0)[:, :, None]  # [n_fft, 2K, 1] (WIO)
+
+    batch_shape = spec.shape[:-2]
+    num_frames = spec.shape[-1]
+    sp = spec.reshape((-1,) + spec.shape[-2:])  # [B', K, T]
+    frames_ch = jnp.concatenate([sp.real, sp.imag], axis=-2)  # [B', 2K, T]
+    frames_ch = jnp.swapaxes(frames_ch, -1, -2)  # [B', T, 2K] NWC
+
+    def ola(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(1,),
+            padding=((n_fft - 1, n_fft - 1),), lhs_dilation=(hop_length,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out = ola(frames_ch, kernel)[..., 0]  # [B', total]
+
+    # envelope: OLA of window^2 via the same transposed conv on all-ones frames
+    env_kernel = jnp.flip(window.astype(jnp.float32) ** 2, 0)[:, None, None]
+    env = ola(jnp.ones((1, num_frames, 1), jnp.float32), env_kernel)[0, :, 0]
+    env = jnp.where(env > 1e-11, env, 1.0)
+    out = out / env
+    return out.reshape(batch_shape + out.shape[-1:])
+
+
 def _rdft_frames(frames: jnp.ndarray, n_fft: int, method: str) -> jnp.ndarray:
     """[..., n_fft] real -> [..., n_fft//2+1] complex."""
     if method == "fft":
@@ -164,6 +227,8 @@ def stft(
         pad = n_fft // 2
         pad_width = [(0, 0)] * (sig.ndim - 1) + [(pad, pad)]
         sig = jnp.pad(sig, pad_width, mode="reflect")
+    if method == "conv":
+        return _stft_conv(sig, window, n_fft, hop_length).astype(jnp.complex64)
     length = sig.shape[-1]
     num_frames = 1 + (length - n_fft) // hop_length
     idx = _frame_indices(num_frames, n_fft, hop_length)
@@ -195,25 +260,31 @@ def istft(
     Returns:
         Real signal ``[..., length]``.
     """
-    spec = jnp.swapaxes(spec, -1, -2)  # [..., num_frames, F]
-    frames = _irdft_frames(spec, n_fft, method)  # [..., num_frames, n_fft]
-    frames = frames * window
+    if method == "conv":
+        num_frames = spec.shape[-1]
+        total = n_fft + hop_length * (num_frames - 1)
+        out = _istft_conv(spec, window, n_fft, hop_length)
+    else:
+        spec = jnp.swapaxes(spec, -1, -2)  # [..., num_frames, F]
+        frames = _irdft_frames(spec, n_fft, method)  # [..., num_frames, n_fft]
+        frames = frames * window
 
-    num_frames = frames.shape[-2]
-    total = n_fft + hop_length * (num_frames - 1)
-    idx = _frame_indices(num_frames, n_fft, hop_length)  # [num_frames, n_fft]
+        num_frames = frames.shape[-2]
+        total = n_fft + hop_length * (num_frames - 1)
+        idx = _frame_indices(num_frames, n_fft, hop_length)  # [num_frames, n_fft]
 
-    batch_shape = frames.shape[:-2]
-    out = jnp.zeros(batch_shape + (total,), dtype=frames.dtype)
-    out = out.at[..., idx].add(frames)
+        batch_shape = frames.shape[:-2]
+        out = jnp.zeros(batch_shape + (total,), dtype=frames.dtype)
+        out = out.at[..., idx].add(frames)
 
-    env = jnp.zeros((total,), dtype=frames.dtype)
-    env = env.at[idx].add(jnp.broadcast_to(window**2, idx.shape))
-    # torch.istft errors out on (near-)zero envelope bins; after the center trim
-    # the hann/hop=128 envelope is strictly positive, so clamping is a no-op on
-    # the retained region and merely keeps the division well-defined elsewhere.
-    env = jnp.where(env > 1e-11, env, 1.0)
-    out = out / env
+        env = jnp.zeros((total,), dtype=frames.dtype)
+        env = env.at[idx].add(jnp.broadcast_to(window**2, idx.shape))
+        # torch.istft errors out on (near-)zero envelope bins; after the center
+        # trim the hann/hop=128 envelope is strictly positive, so clamping is a
+        # no-op on the retained region and merely keeps the division
+        # well-defined elsewhere.
+        env = jnp.where(env > 1e-11, env, 1.0)
+        out = out / env
 
     if center:
         half = n_fft // 2

@@ -91,3 +91,37 @@ def test_istft_length_pad(rng):
     longer = istft(spec, hann_window(N_FFT), n_fft=N_FFT, hop_length=HOP, length=17000)
     assert longer.shape[-1] == 17000
     np.testing.assert_allclose(np.asarray(longer[16500:]), 0.0)
+
+
+@pytest.mark.parametrize("method", ["fft", "conv"])
+def test_stft_methods_match_torch(rng, method):
+    """All three STFT formulations (matmul default, fft, conv) are equal."""
+    x = rng.standard_normal(16000).astype(np.float32)
+    ours = np.asarray(
+        stft(jnp.asarray(x), hann_window(N_FFT), n_fft=N_FFT, hop_length=HOP,
+             method=method)
+    )
+    np.testing.assert_allclose(ours, _torch_stft(x), atol=2e-4)
+
+
+@pytest.mark.parametrize("method", ["fft", "conv"])
+def test_istft_methods_match_torch(rng, method):
+    length = 16000
+    x = rng.standard_normal(length).astype(np.float32)
+    spec = _torch_stft(x)
+    theirs = torch.istft(
+        torch.from_numpy(spec), n_fft=N_FFT, hop_length=HOP,
+        window=torch.hann_window(N_FFT, periodic=True), center=True, length=length,
+    ).numpy()
+    ours = np.asarray(
+        istft(jnp.asarray(spec), hann_window(N_FFT), n_fft=N_FFT, hop_length=HOP,
+              length=length, method=method)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=3e-4)
+
+
+def test_conv_stft_batched(rng):
+    x = rng.standard_normal((3, 8000)).astype(np.float32)
+    a = np.asarray(stft(jnp.asarray(x), hann_window(N_FFT), method="conv"))
+    b = np.asarray(stft(jnp.asarray(x), hann_window(N_FFT), method="matmul"))
+    np.testing.assert_allclose(a, b, atol=2e-4)

@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--oracle", type=bool, default=False)
     parser.add_argument("--snr_ckpt", type=str, default=None,
                         help="SNR-estimator checkpoint dir (snr_conditioned=true, non-oracle)")
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="Bucketed batch enhancement (>1 uses the in-training "
+                             "harness branch semantics via batch_eval; per-utterance "
+                             "normalization is preserved)")
     args = parser.parse_args(argv)
 
     import jax
@@ -96,6 +100,42 @@ def main(argv=None):
     data = {"filename": [], "pesq": [], "si_sdr": [], "estoi": []}
     _pesq_sum = 0.0
     key = jax.random.PRNGKey(0)
+
+    if args.eval_batch_size > 1:
+        # Bucketed batched evaluation (production-serving path).
+        from ..evaluation.batch_eval import batch_enhance
+        from ..train.loop import eval_model_type
+
+        mt = eval_model_type(model.cfg.snr_conditioned, model.cfg.model_type)
+        xs, ys, names = [], [], []
+        for noisy_file in noisy_files:
+            filename = os.path.basename(noisy_file)
+            x, _ = read_wav(join(clean_dir, filename))
+            y, _ = read_wav(noisy_file)
+            xs.append(x[0])
+            ys.append(y[0])
+            names.append(filename)
+        est_snrs = None
+        if mt.endswith("_snr"):
+            est_snrs = [float(model.estimate_snr(jnp.asarray(y)[None])[0]) for y in ys]
+        outs = batch_enhance(model, variables, xs, ys, mt, key,
+                             batch_size=args.eval_batch_size, est_snrs=est_snrs,
+                             fixed_snr=model.cfg.fixed_snr)
+        for filename, x1, x_hat in zip(names, xs, outs):
+            write_wav(join(target_dir, "all", filename), x_hat, sr)
+            p = pesq_wb(sr, x1, x_hat)
+            data["filename"].append(filename)
+            data["pesq"].append(p)
+            data["si_sdr"].append(si_sdr(x1, x_hat))
+            data["estoi"].append(estoi(x1, x_hat, sr))
+        df = pd.DataFrame(data)
+        df.to_csv(join(target_dir, "_results.csv"), index=False)
+        with open(join(target_dir, "_avg_results.txt"), "w") as f:
+            f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
+            f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
+            f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+        return
+
     for cnt, noisy_file in enumerate(noisy_files):
         filename = os.path.basename(noisy_file)
         x, _ = read_wav(join(clean_dir, filename))

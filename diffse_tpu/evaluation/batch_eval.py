@@ -58,12 +58,12 @@ def batch_enhance(
 ) -> List[np.ndarray]:
     """Enhance a list of utterances with bucketed batching.
 
-    NOTE on semantics: within a batch the normalization factor and (for *_snr
-    branches) the estimated-SNR correction use batch-level reductions in
-    `_eval_fn` only if written per-row; `_eval_fn` computes `max(|y|)` over
-    the whole array, so batching uses a per-bucket global normalizer. For
-    exact per-utterance parity use batch_size=1; for throughput-oriented
-    serving the difference is the scalar normalizer only.
+    Semantics are exactly per-utterance (`_eval_fn` normalizes per row and
+    takes per-row SNR estimates), so batch_size only affects throughput.
+    Zero-padded tails are trimmed per file. The only residual deviation from
+    the one-at-a-time reference path is that shorter utterances within a
+    bucket see extra zero samples before the STFT (silence), which the
+    per-row max-abs normalizer ignores.
     """
     hop = model.cfg.hop_length
     lengths = [int(y.shape[-1]) for y in y_wavs]
@@ -79,12 +79,13 @@ def batch_enhance(
             yb[row, :n] = np.asarray(y_wavs[idx]).reshape(-1)[:n]
 
         fn = _eval_fn(model, model_type, t_pad, fixed_snr=fixed_snr)
-        est = 1.0
         if est_snrs is not None:
-            est = float(np.mean([est_snrs[i] for i in idxs]))
+            est = np.asarray([est_snrs[i] for i in idxs], dtype=np.float32)
+        else:
+            est = np.ones((len(idxs),), dtype=np.float32)
         x_hat = np.asarray(
             fn(variables, jnp.asarray(xb), jnp.asarray(yb),
-               jax.random.fold_in(key, bi), jnp.asarray(est, dtype=jnp.float32))
+               jax.random.fold_in(key, bi), jnp.asarray(est))
         )
         for row, idx in enumerate(idxs):
             out[idx] = x_hat[row, : lengths[idx]]

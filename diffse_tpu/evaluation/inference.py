@@ -51,12 +51,15 @@ def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
         return _jit_cache[key_]
 
     def fn(variables, x_wav, y_wav, key, est_snr):
-        norm_factor = jnp.max(jnp.abs(y_wav))
+        # Per-utterance (per-row) normalization: identical to the reference for
+        # batch 1, and exact under bucketed batching (batch_eval.py).
+        est_snr = jnp.broadcast_to(jnp.atleast_1d(est_snr), (y_wav.shape[0],))
+        norm_factor = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
         if branch in ("sebridge_v2_snr", "sebridge_v3_snr"):
             # NOTE: the reference uses the *unsnapped* est_snr for the eval
             # normfac (inference.py:156), unlike enhance() which snaps first.
             normfac = calculate_normfac_direct(1.0, est_snr, fixed_snr)
-            norm_factor = norm_factor * normfac
+            norm_factor = norm_factor * normfac[:, None]
 
         y = y_wav / norm_factor
         x = x_wav / norm_factor
@@ -97,17 +100,16 @@ def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
             # NOTE: the reference's path calls calculate_snr_direct with two
             # args and crashes (inference.py:273, SURVEY.md §3.6); implemented
             # here with the intended fixed_snr argument.
-            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)
-            vec_t = jnp.full((Y.shape[0],), 1.0) * t_val
-            Z = randn_like(key, Y) * cfg.sigma_max * t_val
-            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)  # [B]
+            Z = randn_like(key, Y) * cfg.sigma_max * t_val[:, None, None, None].astype(Y.dtype)
+            sample, _ = model.forward(variables, Y + Z, t_val, Y)
         elif branch == "sebridge_v3_snr":
-            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)
-            idx = jnp.argmin(jnp.abs(jnp.asarray(t_30) - t_val))
-            t_val = jnp.asarray(t_30)[idx]
-            vec_t = jnp.full((Y.shape[0],), 1.0) * t_val
-            Z = randn_like(key, Y) * cfg.sigma_max * t_val
-            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)  # [B]
+            grid = jnp.asarray(t_30, dtype=jnp.float32)
+            idx = jnp.argmin(jnp.abs(grid[None, :] - t_val[:, None]), axis=1)
+            t_val = grid[idx]  # snapped per row
+            Z = randn_like(key, Y) * cfg.sigma_max * t_val[:, None, None, None].astype(Y.dtype)
+            sample, _ = model.forward(variables, Y + Z, t_val, Y)
         else:
             raise ValueError(f"unknown eval branch {branch}")
 

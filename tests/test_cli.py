@@ -82,3 +82,33 @@ def test_train_snr_est_cli_smoke(dataset, tmp_path):
         "--destination_folder", out_dir,
     ])
     assert os.path.exists(os.path.join(out_dir, "_snr_est_results.txt"))
+
+
+@pytest.mark.slow
+def test_eval_cli_batched(dataset, tmp_path):
+    """Bucketed batched eval path (--eval_batch_size > 1)."""
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "runb")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--no_mesh",
+        *TINY_ARGS,
+    ])
+    from diffse_tpu.cli.eval import main as eval_main
+
+    out_dir = str(tmp_path / "eval_batched")
+    eval_main([
+        "--destination_folder", out_dir,
+        "--test_dir", os.path.join(dataset, "test"),
+        "--ckpt", ckpt_dir,
+        "--eval_batch_size", "2",
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["si_sdr"]).all()

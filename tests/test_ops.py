@@ -170,3 +170,37 @@ def test_fused_bias_leaky_relu(rng):
     xb = np.asarray(x) + np.array([0.5, -0.5, 0.0])
     expected = np.where(xb >= 0, xb, 0.2 * xb) * np.sqrt(2)
     np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "stride,padding,output_padding,dilation",
+    [
+        ((1, 1), (0, 0), (0, 0), (1, 1)),
+        ((2, 2), (2, 2), (0, 0), (1, 1)),
+        ((2, 1), (2, 2), (1, 0), (2, 1)),  # DilDCUNet-v2 style
+        ((2, 2), (1, 1), (1, 1), (1, 1)),
+    ],
+)
+def test_conv_transpose2d_matches_torch(rng, stride, padding, output_padding, dilation):
+    """ops.convt.conv_transpose2d vs torch.nn.functional.conv_transpose2d."""
+    import torch
+    import torch.nn.functional as F
+
+    from diffse_tpu.ops.convt import conv_transpose2d
+
+    cin, cout, kh, kw = 3, 5, 4, 4
+    x = rng.standard_normal((2, cin, 7, 9)).astype(np.float32)
+    w = rng.standard_normal((cin, cout, kh, kw)).astype(np.float32)  # torch IOHW
+
+    expected = F.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=stride, padding=padding,
+        output_padding=output_padding, dilation=dilation,
+    ).numpy()
+
+    # ours: NHWC input, HWIO kernel with I=in, O=out
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    w_hwio = jnp.asarray(np.transpose(w, (2, 3, 0, 1)))
+    ours = conv_transpose2d(x_nhwc, w_hwio, stride, padding, output_padding, dilation)
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=2e-4)

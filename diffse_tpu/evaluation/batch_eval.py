@@ -55,6 +55,7 @@ def batch_enhance(
     batch_size: int = 8,
     est_snrs: Optional[Sequence[float]] = None,
     fixed_snr: Optional[float] = None,
+    mesh=None,
 ) -> List[np.ndarray]:
     """Enhance a list of utterances with bucketed batching.
 
@@ -68,6 +69,17 @@ def batch_enhance(
     hop = model.cfg.hop_length
     lengths = [int(y.shape[-1]) for y in y_wavs]
     out: List[Optional[np.ndarray]] = [None] * len(y_wavs)
+
+    # Multi-chip eval parallelism (SURVEY.md §2.3: per-utterance fan-out is a
+    # pure sharding of the file list): shard the bucket batch over the mesh's
+    # data axis; params stay replicated. batch_size should then be a multiple
+    # of the device count.
+    put = None
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        sh = batch_sharding(mesh)
+        put = lambda a: jax.device_put(a, sh)
 
     for bi, (t_pad, idxs) in enumerate(iter_buckets(lengths, batch_size, hop)):
         pad_samples = (t_pad - 1) * hop
@@ -83,9 +95,11 @@ def batch_enhance(
             est = np.asarray([est_snrs[i] for i in idxs], dtype=np.float32)
         else:
             est = np.ones((len(idxs),), dtype=np.float32)
+        xj, yj, ej = jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(est)
+        if put is not None and len(idxs) % len(mesh.devices.flat) == 0:
+            xj, yj, ej = put(xj), put(yj), put(ej)
         x_hat = np.asarray(
-            fn(variables, jnp.asarray(xb), jnp.asarray(yb),
-               jax.random.fold_in(key, bi), jnp.asarray(est))
+            fn(variables, xj, yj, jax.random.fold_in(key, bi), ej)
         )
         for row, idx in enumerate(idxs):
             out[idx] = x_hat[row, : lengths[idx]]

@@ -47,3 +47,25 @@ def test_batch_enhance_end_to_end(rng):
     for o, n in zip(outs, lengths):
         assert o.shape == (n,)
         assert np.all(np.isfinite(o))
+
+
+def test_batch_enhance_with_mesh(rng):
+    """Eval fan-out over the 8-virtual-device mesh (data-parallel sharding)."""
+    from diffse_tpu.parallel import make_mesh, replicate
+
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
+                           snr_conditioned="false", sigma_max=1.0, num_frames=32)
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=32)
+
+    mesh = make_mesh()
+    variables_r = replicate(mesh, variables)
+    lengths = [4000] * 8
+    xs = [rng.standard_normal(n).astype(np.float32) * 0.1 for n in lengths]
+    ys = [x + rng.standard_normal(x.shape[0]).astype(np.float32) * 0.03 for x in xs]
+    outs = batch_enhance(model, variables_r, xs, ys, "sebridge_v2",
+                         jax.random.PRNGKey(1), batch_size=8, mesh=mesh)
+    assert len(outs) == 8
+    for o in outs:
+        assert np.all(np.isfinite(o))

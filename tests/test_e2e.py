@@ -51,6 +51,7 @@ def test_dataset_crop_contract(dataset):
     assert s > 0 and n > 0
 
 
+@pytest.mark.slow
 def test_e2e_train_validate_checkpoint_enhance(dataset, tmp_path):
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
@@ -92,6 +93,7 @@ def test_e2e_train_validate_checkpoint_enhance(dataset, tmp_path):
     assert nfe == 1 and rtf > 0
 
 
+@pytest.mark.slow
 def test_e2e_snr_estimator_training(dataset, tmp_path):
     from diffse_tpu.models.snr_model import SNRModel, SNRModelConfig
 

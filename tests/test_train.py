@@ -76,6 +76,7 @@ def test_train_step_updates_params_and_ema():
         np.testing.assert_allclose(np.asarray(e1), expected, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_loss_decreases():
     model, opt, state = _model_and_state()
     step = make_train_step(model, opt, donate=False)
@@ -95,6 +96,7 @@ def test_eval_variables_selects_ema():
     assert ev_raw["params"] is state.variables["params"]
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     """The 8-virtual-device mesh train step must produce (numerically) the
     same update as the single-device step — DP is a pure sharding."""

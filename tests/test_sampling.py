@@ -134,3 +134,56 @@ def test_ode_sampler_recovers_x0():
     sample, nfev = jax.jit(sampler)(jax.random.PRNGKey(5))
     err = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
     assert err < 0.2, f"relative error {err}, nfev {int(nfev)}"
+
+
+def test_scan_sampler_matches_python_loop():
+    """The counter-based closed-form scan schedule must match an explicit
+    python loop over timesteps_space with stepsize t_i - t_{i+1} (the
+    reference's loop, sampling/__init__.py:54-75), step for step."""
+    from diffse_tpu.sampling.correctors import AnnealedLangevinDynamics
+    from diffse_tpu.sampling.predictors import ReverseDiffusionPredictor
+
+    key = jax.random.PRNGKey(21)
+    x0, y = _make_problem(key, shape=(1, 1, 8, 8))
+    sde = BBED(N=12)
+    score = _true_score(sde, x0)
+    eps, snr_v = 0.03, 0.5
+
+    sampler = get_pc_sampler("reverse_diffusion", "ald", sde, score, Y=y,
+                             denoise=True, eps=eps, snr=snr_v, corrector_steps=1)
+    sample_key = jax.random.PRNGKey(99)
+    scan_out, _ = sampler(sample_key)
+
+    # python-loop replication with identical key-splitting structure
+    predictor = ReverseDiffusionPredictor(sde, score)
+    corrector = AnnealedLangevinDynamics(sde, score, snr=snr_v, n_steps=1)
+    prior_key, scan_key = jax.random.split(sample_key)
+    xt, _ = sde.prior_sampling(prior_key, y)
+    ts = timesteps_space(sde.T, sde.N, eps)
+    k = scan_key
+    x_mean = xt
+    for i, t in enumerate(ts):
+        stepsize = ts[i] - ts[i + 1] if i < len(ts) - 1 else ts[-1]
+        k, kc, kp = jax.random.split(k, 3)
+        vec_t = jnp.full((1,), float(t))
+        xt, x_mean = corrector.update_fn(kc, xt, vec_t, y)
+        xt, x_mean = predictor.update_fn(kp, xt, vec_t, y, float(stepsize))
+
+    # the closed-form schedule computes t_i = T - i*delta in f32 while
+    # linspace rounds differently (~1e-7 per step); after 12 steps the
+    # trajectories agree to ~1e-4
+    np.testing.assert_allclose(np.asarray(scan_out), np.asarray(x_mean),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sampler_deterministic_given_key():
+    key = jax.random.PRNGKey(0)
+    x0, y = _make_problem(key)
+    sde = BBED(N=10)
+    sampler = get_pc_sampler("reverse_diffusion", "ald", sde, _true_score(sde, x0),
+                             Y=y, eps=0.03, snr=0.5)
+    a, _ = sampler(jax.random.PRNGKey(5))
+    b, _ = sampler(jax.random.PRNGKey(5))
+    c, _ = sampler(jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))

@@ -435,15 +435,42 @@ class ScoreModel:
 
     # -------------------------------------------------------------- sampling
     def get_pc_sampler(self, predictor_name, corrector_name, variables, y,
-                       Y_prior=None, N=None, **kwargs):
-        """PC sampler closure over current variables (model.py:550-572)."""
+                       Y_prior=None, N=None, minibatch=None, **kwargs):
+        """PC sampler closure over current variables (model.py:550-572).
+
+        With `minibatch`, returns a batched sampling fn that splits `y` into
+        minibatches (model.py:560-572) — each chunk still runs the whole
+        reverse SDE as one lax.scan.
+        """
         sde = self.sde if N is None else self.sde.replace(N=N)
         score_fn = lambda x_, t_, y_: self.forward(variables, x_, t_, y_)[0]
         kwargs = {"eps": self.cfg.t_eps, **kwargs}
-        return get_pc_sampler(
-            predictor_name, corrector_name, sde=sde, score_fn=score_fn, Y=y,
-            Y_prior=Y_prior, **kwargs,
-        )
+        if minibatch is None:
+            return get_pc_sampler(
+                predictor_name, corrector_name, sde=sde, score_fn=score_fn, Y=y,
+                Y_prior=Y_prior, **kwargs,
+            )
+
+        m = y.shape[0]
+
+        def batched_sampling_fn(key: jax.Array):
+            samples, ns = [], []
+            for i in range(int(math.ceil(m / minibatch))):
+                y_mini = y[i * minibatch : (i + 1) * minibatch]
+                y_prior_mini = (
+                    Y_prior[i * minibatch : (i + 1) * minibatch]
+                    if Y_prior is not None else None
+                )
+                sampler = get_pc_sampler(
+                    predictor_name, corrector_name, sde=sde, score_fn=score_fn,
+                    Y=y_mini, Y_prior=y_prior_mini, **kwargs,
+                )
+                sample, n = sampler(jax.random.fold_in(key, i))
+                samples.append(sample)
+                ns.append(n)
+            return jnp.concatenate(samples, axis=0), ns
+
+        return batched_sampling_fn
 
     def get_ode_sampler(self, variables, y, Y_prior=None, N=None, **kwargs):
         sde = self.sde if N is None else self.sde.replace(N=N)

@@ -166,3 +166,15 @@ def test_fixed_enhance_raises():
     model, variables = _make_model(snr_conditioned="fixed", model_type="sebridge_v3")
     with pytest.raises(NotImplementedError):
         model.enhance(variables, jnp.zeros((1, 2048)), jnp.zeros((1, 2048)))
+
+
+def test_get_pc_sampler_minibatch():
+    """minibatch sampling splits the conditioner batch (model.py:560-572)."""
+    model, variables = _make_model(snr_conditioned="false", model_type="bbed")
+    x, y = _spec_batch(jax.random.PRNGKey(8), b=5)
+    sampler = model.get_pc_sampler("reverse_diffusion", "ald", variables, y,
+                                   N=3, minibatch=2, snr=0.5)
+    samples, ns = sampler(jax.random.PRNGKey(9))
+    assert samples.shape == y.shape
+    assert len(ns) == 3  # ceil(5/2) chunks
+    assert np.all(np.isfinite(np.asarray(samples.real)))

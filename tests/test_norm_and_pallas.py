@@ -75,3 +75,34 @@ def test_pallas_fused_bias_lrelu_matches_jnp(rng):
     ref = fused_bias_leaky_relu(x, b)
     out = fused_bias_leaky_relu_pallas(x, b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_groupnorm_silu_matches_flax(rng):
+    """Fused GroupNorm+SiLU kernel vs flax GroupNorm + silu reference."""
+    import flax.linen as nn
+    from diffse_tpu.ops.pallas_kernels import groupnorm_silu_pallas
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 16)).astype(np.float32) * 2 + 1)
+    scale = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.1 + 1)
+    bias = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.1)
+
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-6)
+    variables = {"params": {"scale": scale, "bias": bias}}
+    ref = jax.nn.silu(gn.apply(variables, x))
+
+    out = groupnorm_silu_pallas(x, scale, bias, num_groups=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_groupnorm_no_silu(rng):
+    import flax.linen as nn
+    from diffse_tpu.ops.pallas_kernels import groupnorm_silu_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 8)).astype(np.float32))
+    scale = jnp.ones(8)
+    bias = jnp.zeros(8)
+    gn = nn.GroupNorm(num_groups=2, epsilon=1e-6)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    out = groupnorm_silu_pallas(x, scale, bias, num_groups=2, apply_silu=False,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -78,19 +78,36 @@ def groupnorm_silu_pallas(
         _groupnorm_silu_kernel, num_groups=num_groups, eps=eps,
         apply_silu=apply_silu,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((c,), lambda i: (0,)),
-            pl.BlockSpec((c,), lambda i: (0,)),
-        ],
-        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-        interpret=interpret,
-    )(x2, scale.astype(x2.dtype), bias.astype(x2.dtype))
-    return out.reshape(b, h, w, c)
+    try:
+        out = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((c,), lambda i: (0,)),
+                pl.BlockSpec((c,), lambda i: (0,)),
+            ],
+            out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            interpret=interpret,
+        )(x2, scale.astype(x2.dtype), bias.astype(x2.dtype))
+        return out.reshape(b, h, w, c)
+    except Exception:
+        # Mosaic compilation unavailable (e.g. remote-compile bridges without
+        # a Pallas helper, see DEVNOTES.md): jnp fallback, same math.
+        return _groupnorm_silu_jnp(x, scale, bias, num_groups, eps, apply_silu)
+
+
+def _groupnorm_silu_jnp(x, scale, bias, num_groups, eps, apply_silu):
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h * w, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+    out = xn * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    return out
 
 
 def _fused_bias_lrelu_kernel(x_ref, b_ref, o_ref, *, negative_slope, scale):

@@ -321,3 +321,90 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+# ----------------------------------------------------------------- SNRNet
+
+
+def snrnet_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
+                              torch_root: str = "dnn.") -> dict:
+    """Convert the reference SNRNet state_dict (sgmse/backbones/snrnet.py:15-44)
+    to diffse_tpu/models/snrnet.py flax params.
+
+    torch LSTM gate order is (i, f, g, o); weight_ih [4h, in] / weight_hh
+    [4h, h] slices transpose into flax OptimizedLSTMCell's ii/if/ig/io
+    (input, no bias) and hi/hf/hg/ho (hidden, bias = bias_ih + bias_hh)
+    dense kernels. Bidirectional: the `_reverse` weights land in `lstm_bwd`.
+    """
+    sd = {k[len(torch_root):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(torch_root)}
+    params: dict = {}
+
+    def conv(name_t, name_f):
+        params[name_f] = {
+            "kernel": np.transpose(sd[f"{name_t}.weight"], (2, 3, 1, 0)),
+            "bias": sd[f"{name_t}.bias"],
+        }
+
+    conv("conv5x5_1", "conv5x5_1")
+    conv("conv3x3_1", "conv3x3_1")
+    # torch convt_1..4 have time-kernel widths 1/2/4/8; flax names convt_{width}
+    for idx, width in zip(range(1, 5), (1, 2, 4, 8)):
+        conv(f"convt_{idx}", f"convt_{width}")
+
+    def lstm(direction_suffix, flax_name):
+        # flax param scope: the cell module's own name (the RNN wrapper shares
+        # the cell's scope) — OptimizedLSTMCell_0 = fwd, _1 = bwd.
+        w_ih = sd[f"blstm.weight_ih_l0{direction_suffix}"]  # [4h, in]
+        w_hh = sd[f"blstm.weight_hh_l0{direction_suffix}"]  # [4h, h]
+        b_ih = sd[f"blstm.bias_ih_l0{direction_suffix}"]
+        b_hh = sd[f"blstm.bias_hh_l0{direction_suffix}"]
+        h = w_hh.shape[1]
+        gates = {"i": 0, "f": 1, "g": 2, "o": 3}
+        cell: dict = {}
+        for g, gi in gates.items():
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{g}"] = {"kernel": w_ih[sl].T}
+            cell[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b_ih[sl] + b_hh[sl]}
+        params[flax_name] = cell
+
+    lstm("", "OptimizedLSTMCell_0")
+    lstm("_reverse", "OptimizedLSTMCell_1")
+
+    params["fc"] = {"kernel": sd["fc.weight"].T, "bias": sd["fc.bias"]}
+    return params
+
+
+def snrnet_flax_to_state_dict(params: dict, torch_root: str = "dnn.") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`snrnet_state_dict_to_flax` (round-trip testing; the
+    summed LSTM bias is emitted as bias_ih with bias_hh = 0)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(name_f, name_t):
+        sd[f"{torch_root}{name_t}.weight"] = np.transpose(
+            np.asarray(params[name_f]["kernel"]), (3, 2, 0, 1))
+        sd[f"{torch_root}{name_t}.bias"] = np.asarray(params[name_f]["bias"])
+
+    conv("conv5x5_1", "conv5x5_1")
+    conv("conv3x3_1", "conv3x3_1")
+    for idx, width in zip(range(1, 5), (1, 2, 4, 8)):
+        conv(f"convt_{width}", f"convt_{idx}")
+
+    def lstm(flax_name, direction_suffix):
+        cell = params[flax_name]
+        w_ih = np.concatenate(
+            [np.asarray(cell[f"i{g}"]["kernel"]).T for g in "ifgo"], axis=0)
+        w_hh = np.concatenate(
+            [np.asarray(cell[f"h{g}"]["kernel"]).T for g in "ifgo"], axis=0)
+        b = np.concatenate([np.asarray(cell[f"h{g}"]["bias"]) for g in "ifgo"])
+        sd[f"{torch_root}blstm.weight_ih_l0{direction_suffix}"] = w_ih
+        sd[f"{torch_root}blstm.weight_hh_l0{direction_suffix}"] = w_hh
+        sd[f"{torch_root}blstm.bias_ih_l0{direction_suffix}"] = b
+        sd[f"{torch_root}blstm.bias_hh_l0{direction_suffix}"] = np.zeros_like(b)
+
+    lstm("OptimizedLSTMCell_0", "")
+    lstm("OptimizedLSTMCell_1", "_reverse")
+
+    sd[f"{torch_root}fc.weight"] = np.asarray(params["fc"]["kernel"]).T
+    sd[f"{torch_root}fc.bias"] = np.asarray(params["fc"]["bias"])
+    return sd

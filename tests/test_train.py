@@ -172,3 +172,32 @@ def test_checkpoint_min_mode(tmp_path):
         mgr.save(i, state, {"snr_error": e})
     assert set(mgr.all_steps()) == {1, 2}
     assert mgr.best_step("snr_error", mode="min") == 1
+
+
+def test_profiling_stage_timer():
+    from diffse_tpu.train.profiling import StageTimer, rtf
+
+    timer = StageTimer()
+    with timer.stage("a", sync=False):
+        sum(range(1000))
+    with timer.stage("a", sync=False):
+        pass
+    with timer.stage("b", sync=False):
+        pass
+    assert timer.counts["a"] == 2 and timer.counts["b"] == 1
+    assert "a:" in timer.summary()
+    assert rtf(1.0, 2.0) == 0.5
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    import json
+
+    from diffse_tpu.train.logging import MetricsLogger
+
+    logger = MetricsLogger(log_dir=str(tmp_path))
+    logger.log({"train_loss": 1.5}, step=3)
+    logger.log({"pesq": 2.9, "si_sdr": 17.0}, step=4)
+    logger.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["train_loss"] == 1.5 and lines[0]["step"] == 3
+    assert lines[1]["pesq"] == 2.9

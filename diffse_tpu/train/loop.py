@@ -31,6 +31,21 @@ from .steps import make_eval_step, make_train_step
 DEEP_INFERENCE_EVERY_EPOCH = 10
 
 
+def _maybe_mesh(use_mesh: bool, batch_size: int):
+    """Data-parallel mesh if requested, more than one device exists, and the
+    batch divides evenly over the devices (sharding requires divisibility)."""
+    if not use_mesh:
+        return None
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    if batch_size % n != 0:
+        print(f"warning: batch_size {batch_size} not divisible by {n} devices; "
+              "running without data-parallel sharding")
+        return None
+    return make_mesh()
+
+
 def eval_model_type(snr_conditioned: str, model_type: str) -> str:
     """(snr_conditioned, model_type) -> evaluate_model branch name
     (model.py:409-426)."""
@@ -67,7 +82,7 @@ def train_score_model(
     optimizer = optax.adam(cfg.lr)
     state = create_train_state(variables, optimizer)
 
-    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    mesh = _maybe_mesh(use_mesh, data_module.cfg.batch_size)
     train_step = make_train_step(
         model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
         preprocess=model.prepare_batch, donate=True,
@@ -183,7 +198,7 @@ def train_snr_model(
     optimizer = optax.adam(cfg.lr)
     state = create_train_state(variables, optimizer)
 
-    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    mesh = _maybe_mesh(use_mesh, data_module.cfg.batch_size)
     train_step = make_train_step(
         model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
         preprocess=model.prepare_batch, donate=True,

@@ -201,3 +201,12 @@ def test_metrics_logger_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert lines[0]["train_loss"] == 1.5 and lines[0]["step"] == 3
     assert lines[1]["pesq"] == 2.9
+
+
+def test_maybe_mesh_divisibility_guard():
+    from diffse_tpu.train.loop import _maybe_mesh
+
+    assert _maybe_mesh(False, 8) is None
+    assert _maybe_mesh(True, 4) is None  # 4 % 8 devices != 0
+    mesh = _maybe_mesh(True, 16)
+    assert mesh is not None and len(mesh.devices.flat) == 8

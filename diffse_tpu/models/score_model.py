@@ -494,13 +494,18 @@ class ScoreModel:
         return est_gt / (1 - est_gt)
 
     def _enhance_jit(self, branch: str, t_pad: int, n_steps: int, predictor: str,
-                     corrector: str, corrector_steps: int, snr: float,
-                     oracle: bool):
+                     corrector: str, corrector_steps: int, oracle: bool):
         """Build (and cache) the jitted end-to-end enhancement function for a
         given branch and padded width: normalize -> STFT -> sample -> iSTFT,
-        all one XLA program."""
+        all one XLA program.
+
+        The corrector ``snr`` is a *traced* argument of the compiled function
+        (it only enters corrector arithmetic), so one compile serves snr
+        sweeps — important on backends where a 65M-param compile costs
+        minutes. ``corrector_steps`` stays a cache key: it changes program
+        structure."""
         cache_key = (branch, t_pad, n_steps, predictor, corrector,
-                     corrector_steps, snr, oracle)
+                     corrector_steps, oracle)
         if cache_key in self._enhance_cache:
             return self._enhance_cache[cache_key]
 
@@ -516,7 +521,7 @@ class ScoreModel:
             X = pad_spec(X)
             return X, Y
 
-        def fn(variables, x_wav, y_wav, key, est_snr):
+        def fn(variables, x_wav, y_wav, key, est_snr, snr):
             nfe = n_steps
             norm_factor = jnp.max(jnp.abs(y_wav))
             t_hat = jnp.asarray(0.0)
@@ -648,9 +653,11 @@ class ScoreModel:
         t_pad = frames + (64 - frames % 64) % 64
 
         fn = self._enhance_jit(
-            branch, t_pad, N, predictor, corrector, corrector_steps, snr, oracle
+            branch, t_pad, N, predictor, corrector, corrector_steps, oracle
         )
-        x_hat, nfe = fn(variables, x, y, key, est_snr)
+        x_hat, nfe = fn(
+            variables, x, y, key, est_snr, jnp.asarray(snr, dtype=jnp.float32)
+        )
         x_hat = np.asarray(x_hat)[0, :t_orig]
         end = time.time()
         if timeit:

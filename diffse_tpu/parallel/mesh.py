@@ -55,11 +55,41 @@ def replicate(mesh: Mesh, tree):
 def initialize_distributed(**kwargs) -> None:
     """Multi-host initialization (jax.distributed). On a single host this is a
     no-op convenience; on a multi-host slice call before building the mesh —
-    GSPMD then spans ICI/DCN transparently with the same program."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    GSPMD then spans ICI/DCN transparently with the same program.
+
+    Failure policy: only the *no-coordinator-configured* case degrades to a
+    single-process run. If a coordinator was configured (explicit kwarg or
+    env var) and initialization fails, the error is re-raised — a mistyped
+    coordinator address must not silently turn a multi-host launch into a
+    single-process one."""
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+    # NOTE: must not touch jax.process_count()/jax.devices() here — querying
+    # the backend initializes XLA, after which jax.distributed.initialize
+    # always fails. is_initialized() checks the coordination client only.
+    if jax.distributed.is_initialized():
+        log.info("jax.distributed already initialized; continuing")
+        return
+
+    coordinator_configured = bool(kwargs.get("coordinator_address")) or any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # Single-process (no coordinator configured): run locally.
-        pass
+        log.info(
+            "jax.distributed initialized: %d process(es), %d device(s)",
+            jax.process_count(), len(jax.devices()),
+        )
+    except Exception as e:
+        if "already initialized" in str(e).lower():
+            log.info("jax.distributed already initialized; continuing")
+            return
+        if coordinator_configured:
+            raise
+        log.info(
+            "no distributed coordinator configured; running single-process "
+            "(initialize said: %s)", e,
+        )

@@ -70,10 +70,20 @@ def get_pc_sampler(
     Returns:
         ``sampler(key) -> (sample, ns)`` where the N-step loop is a single
         ``lax.scan``; jit-compatible and differentiable-free (inference only).
-    """
-    if intermediate:
-        raise NotImplementedError("intermediate-trajectory sampling is not implemented")
+        With ``intermediate=True``, ``sampler(key) -> (trajectory, ns)`` where
+        ``trajectory`` has a leading time axis of length N (the per-step
+        denoised means ``x_mean``, or raw ``x`` when ``denoise=False``) and
+        ``trajectory[-1]`` equals the non-intermediate sample. (The reference
+        gates on the same flag but returns an *undefined name*,
+        sgmse/sampling/__init__.py:77-78 — a documented quirk fix; the scan's
+        stacked ys give the trajectory for free on TPU.)
 
+    Note:
+        ``snr`` may be a traced jnp scalar — it only enters corrector
+        arithmetic, so one compiled program serves snr sweeps.
+        ``corrector_steps`` stays static: it changes program structure
+        (inner loop length and the NFE count).
+    """
     predictor = PredictorRegistry.get_by_name(predictor_name)(
         sde, score_fn, probability_flow=probability_flow
     )
@@ -109,12 +119,15 @@ def get_pc_sampler(
             vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
             x, x_mean = corrector.update_fn(kc, x, vec_t, y_cond)
             x, x_mean = predictor.update_fn(kp, x, vec_t, y_cond, stepsize)
-            return (x, x_mean, k, i + 1.0), None
+            ys = (x_mean if denoise else x) if intermediate else None
+            return (x, x_mean, k, i + 1.0), ys
 
         init = (xt, xt, scan_key, jnp.asarray(0.0, dtype=jnp.float32))
-        (xt, xt_mean, _, _), _ = jax.lax.scan(body, init, None, length=n_steps)
-        x_result = xt_mean if denoise else xt
+        (xt, xt_mean, _, _), traj = jax.lax.scan(body, init, None, length=n_steps)
         ns = n_steps * (corrector.n_steps + 1)
+        if intermediate:
+            return traj, ns
+        x_result = xt_mean if denoise else xt
         return x_result, ns
 
     return pc_sampler

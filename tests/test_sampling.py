@@ -176,6 +176,96 @@ def test_scan_sampler_matches_python_loop():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_pc_sampler_intermediate_trajectory():
+    """intermediate=True returns the full per-step trajectory; its last entry
+    equals the non-intermediate sample for the same key. (The reference gates
+    on this flag but returns an undefined name, sampling/__init__.py:77-78 —
+    this is the working equivalent.)"""
+    key = jax.random.PRNGKey(3)
+    x0, y = _make_problem(key, shape=(2, 1, 8, 8))
+    sde = BBED(N=7)
+    kwargs = dict(sde=sde, score_fn=_true_score(sde, x0), Y=y, denoise=True,
+                  eps=0.03, snr=0.5, corrector_steps=1)
+    sampler = get_pc_sampler("reverse_diffusion", "ald", **kwargs)
+    sampler_i = get_pc_sampler("reverse_diffusion", "ald", intermediate=True,
+                               **kwargs)
+    sample_key = jax.random.PRNGKey(17)
+    sample, ns = jax.jit(sampler)(sample_key)
+    traj, ns_i = jax.jit(sampler_i)(sample_key)
+    assert ns_i == ns == 7 * 2
+    assert traj.shape == (7,) + y.shape
+    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(sample))
+    # the trajectory should move: early steps differ from the final sample
+    assert not np.allclose(np.asarray(traj[0]), np.asarray(traj[-1]))
+
+
+def test_pc_sampler_snr_is_traceable():
+    """One jitted program must serve multiple corrector snr values (snr is a
+    traced scalar, not a compile-time constant)."""
+    key = jax.random.PRNGKey(9)
+    x0, y = _make_problem(key, shape=(1, 1, 8, 8))
+    sde = BBED(N=5)
+    score = _true_score(sde, x0)
+
+    traces = {"n": 0}
+
+    @jax.jit
+    def run(snr_value, sample_key):
+        traces["n"] += 1
+        sampler = get_pc_sampler("reverse_diffusion", "ald", sde, score, Y=y,
+                                 denoise=True, eps=0.03, snr=snr_value)
+        return sampler(sample_key)[0]
+
+    k = jax.random.PRNGKey(4)
+    a = run(jnp.asarray(0.3), k)
+    b = run(jnp.asarray(0.8), k)
+    assert traces["n"] == 1, "snr change must not retrace/recompile"
+    assert not np.allclose(np.asarray(a), np.asarray(b)), (
+        "different corrector snr must change the sample"
+    )
+
+
+def test_ode_sampler_drift_matches_scipy():
+    """Integrate the actual reverse probability-flow ODE drift with scipy's
+    RK45 and compare against the on-device sampler's pre-denoise state (the
+    reference's sampler is literally scipy, sampling/__init__.py:95-171)."""
+    import scipy.integrate
+
+    key = jax.random.PRNGKey(23)
+    x0, y = _make_problem(key, shape=(1, 1, 4, 4))
+    sde = BBED(N=30)
+    score = _true_score(sde, x0)
+    rsde = sde.reverse(score, probability_flow=True)
+    eps = 0.03
+
+    sampler = get_ode_sampler(sde, score, y=y, eps=eps, denoise=False,
+                              rtol=1e-6, atol=1e-8)
+    sample_key = jax.random.PRNGKey(31)
+    ours, nfev = sampler(sample_key)
+
+    # identical prior draw, then scipy integrates the same drift
+    prior_key, _ = jax.random.split(sample_key)
+    xt, _ = sde.prior_sampling(prior_key, y)
+    shape, dtype = xt.shape, np.asarray(xt).dtype
+
+    def f(t, flat):
+        x = jnp.asarray(flat.reshape(shape).astype(dtype))
+        vec_t = jnp.full((shape[0],), float(t), dtype=jnp.float32)
+        return np.asarray(rsde.sde(x, vec_t, y)[0]).reshape(-1)
+
+    ref = scipy.integrate.solve_ivp(
+        f, (float(sde.T), eps), np.asarray(xt).reshape(-1),
+        rtol=1e-6, atol=1e-8, method="RK45",
+    )
+    assert ref.success
+    np.testing.assert_allclose(
+        np.asarray(ours).reshape(-1), ref.y[:, -1].astype(dtype),
+        rtol=5e-3, atol=5e-4,
+    )
+    # comparable work: adaptive step counts should be in the same ballpark
+    assert 0.5 <= float(nfev) / ref.nfev <= 2.0, (int(nfev), ref.nfev)
+
+
 def test_sampler_deterministic_given_key():
     key = jax.random.PRNGKey(0)
     x0, y = _make_problem(key)

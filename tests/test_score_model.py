@@ -178,3 +178,36 @@ def test_get_pc_sampler_minibatch():
     assert samples.shape == y.shape
     assert len(ns) == 3  # ceil(5/2) chunks
     assert np.all(np.isfinite(np.asarray(samples.real)))
+
+
+@pytest.mark.slow
+def test_enhance_snr_sweep_reuses_one_compile():
+    """Corrector snr is a traced scalar of the enhance jit: sweeping snr must
+    not grow the compile cache, and must change the output (VERDICT r1 #9)."""
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5,
+    )
+    backbone = dict(nf=4, ch_mult=(1, 1, 1, 1, 1), num_res_blocks=1,
+                    attn_resolutions=(16,), image_size=256)
+    model = ScoreModel(
+        cfg, backbone_kwargs=backbone,
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+    x = y
+
+    out = {}
+    for snr in (0.3, 0.8):
+        out[snr] = model.enhance(
+            variables, x, y, key=jax.random.PRNGKey(1), N=3, snr=snr,
+        )
+    assert len(model._enhance_cache) == 1, (
+        f"snr sweep must reuse one compile, cache={list(model._enhance_cache)}"
+    )
+    assert not np.allclose(out[0.3], out[0.8]), (
+        "different corrector snr must change the enhanced output"
+    )

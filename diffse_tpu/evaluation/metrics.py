@@ -12,9 +12,10 @@ Host-side scoring, mirroring the reference's metric surface:
     frame removal at 40 dB dynamic range, 256/128 hann STFT with 512-point
     FFT, 15 one-third-octave bands from 150 Hz, and for ESTOI length-30
     row/column-normalized segment correlations).
-  - PESQ (ITU-T P.862): delegated to the `pesq` C extension when available
-    (the reference's dependency), otherwise NaN is returned with a one-time
-    warning — PESQ has no faithful pure-python stand-in.
+  - PESQ (ITU-T P.862.2 wideband): delegated to the `pesq` C extension when
+    available (the reference's dependency), otherwise scored by the native
+    implementation in `pesq_native.py` (validated by identity/monotonicity/
+    invariance anchors and real VBD mixtures — see its conformance statement).
 """
 
 from __future__ import annotations
@@ -275,30 +276,32 @@ def estoi(x, y, fs_sig):
 
 # ----------------------------------------------------------------------- PESQ
 
-try:  # the reference's scoring dependency (C extension), optional here
+try:  # the reference's scoring dependency (C extension), preferred if present
     from pesq import pesq as _pesq  # type: ignore
 
     HAS_PESQ = True
 except Exception:  # pragma: no cover
     _pesq = None
-    HAS_PESQ = False
-
-_pesq_warned = False
+    HAS_PESQ = True  # native implementation below always available
 
 
 def pesq_wb(sr, ref, deg):
-    """Wideband PESQ (ITU-T P.862.2) via the `pesq` package when installed,
-    NaN otherwise (logged once)."""
-    global _pesq_warned
+    """Wideband PESQ MOS-LQO (ITU-T P.862.2) of degraded `deg` vs clean `ref`.
+
+    Uses the ITU `pesq` C extension when installed (the reference's scoring
+    dependency, util/inference.py:314); otherwise the native implementation in
+    `pesq_native.py` (see its conformance statement). NaN on scoring failure
+    (e.g. all-silent input), matching the wheel's error behavior."""
     if _pesq is not None:
         try:
             return float(_pesq(sr, np.asarray(ref), np.asarray(deg), "wb"))
         except Exception:
             return float("nan")
-    if not _pesq_warned:
-        warnings.warn(
-            "`pesq` package not available — PESQ scores will be NaN. "
-            "Install ITU-T P.862 `pesq` for PESQ parity evaluation."
-        )
-        _pesq_warned = True
-    return float("nan")
+    from .pesq_native import pesq_wb_native
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return pesq_wb_native(ref, deg, fs=sr)
+    except ValueError:
+        return float("nan")

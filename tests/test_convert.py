@@ -164,3 +164,117 @@ def test_snrnet_lstm_gate_mapping_against_torch():
     out_t, _ = lstm_t(torch.from_numpy(x))
     np.testing.assert_allclose(np.asarray(out_f), out_t.detach().numpy(),
                                atol=1e-5)
+
+
+# ---------------------------------------------------- reference forward parity
+
+_REF_ROOT = "/root/reference/sgmse-bbed"
+
+
+def _import_reference_ncsnpp():
+    """Import the reference NCSNpp on CPU, stubbing its JIT-compiled CUDA op
+    module with exact CPU equivalents (the op's semantics are pinned by
+    tests/test_ops.py::test_upfirdn2d_numpy_against_torch_spec)."""
+    import types
+
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(_REF_ROOT):
+        pytest.skip("reference repo not present")
+    if _REF_ROOT not in sys.path:
+        sys.path.insert(0, _REF_ROOT)
+
+    mod_name = "sgmse.backbones.ncsnpp_utils.op"
+    if mod_name not in sys.modules:
+        from diffse_tpu.ops.upfirdn2d import upfirdn2d_numpy
+
+        op_mod = types.ModuleType(mod_name)
+
+        def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
+            out = upfirdn2d_numpy(
+                input.detach().cpu().double().numpy(),
+                kernel.detach().cpu().double().numpy(),
+                up=up, down=down, pad=(int(pad[0]), int(pad[1])),
+            )
+            return torch.from_numpy(out).to(input.dtype)
+
+        def fused_leaky_relu(inp, bias, negative_slope=0.2, scale=2**0.5):
+            shape = [1, -1] + [1] * (inp.ndim - 2)
+            return torch.nn.functional.leaky_relu(
+                inp + bias.view(*shape), negative_slope
+            ) * scale
+
+        class FusedLeakyReLU(torch.nn.Module):
+            def __init__(self, channel, negative_slope=0.2, scale=2**0.5):
+                super().__init__()
+                self.bias = torch.nn.Parameter(torch.zeros(channel))
+                self.negative_slope = negative_slope
+                self.scale = scale
+
+            def forward(self, inp):
+                return fused_leaky_relu(inp, self.bias, self.negative_slope, self.scale)
+
+        op_mod.upfirdn2d = upfirdn2d
+        op_mod.fused_leaky_relu = fused_leaky_relu
+        op_mod.FusedLeakyReLU = FusedLeakyReLU
+        sys.modules[mod_name] = op_mod
+
+    from sgmse.backbones.ncsnpp import NCSNpp as RefNCSNpp
+
+    return RefNCSNpp
+
+
+def _reference_parity_case(cfg, f, t_frames, seed=0, t_value=0.37):
+    """Instantiate the reference NCSNpp (random torch init), convert its
+    weights, and return (reference_output, our_output) on identical input."""
+    torch = pytest.importorskip("torch")
+    RefNCSNpp = _import_reference_ncsnpp()
+
+    torch.manual_seed(seed)
+    ref_model = RefNCSNpp(**cfg).eval()
+    sd = {f"dnn.{k}": v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    corr = conv.ncsnpp_correspondence(
+        nf=cfg["nf"], ch_mult=cfg["ch_mult"], num_res_blocks=cfg["num_res_blocks"],
+        attn_resolutions=cfg["attn_resolutions"], image_size=cfg["image_size"],
+    )
+    params = conv.convert_state_dict_to_flax(sd, corr)
+
+    rng = np.random.default_rng(seed)
+    xc = (rng.standard_normal((1, 2, f, t_frames))
+          + 1j * rng.standard_normal((1, 2, f, t_frames))).astype(np.complex64)
+    t_val = np.asarray([t_value], np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(xc), torch.from_numpy(t_val)).numpy()
+
+    model = NCSNpp(nf=cfg["nf"], ch_mult=cfg["ch_mult"],
+                   num_res_blocks=cfg["num_res_blocks"],
+                   attn_resolutions=cfg["attn_resolutions"],
+                   image_size=cfg["image_size"])
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(xc),
+                                  jnp.asarray(t_val)))
+    return ref_out, ours
+
+
+def test_forward_parity_vs_reference_tiny():
+    """End-to-end forward parity against the ACTUAL reference NCSN++ (torch
+    CPU, random weights converted): any layer-semantics drift fails this."""
+    cfg = dict(nf=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+               image_size=16)
+    ref_out, ours = _reference_parity_case(cfg, f=16, t_frames=16)
+    assert ref_out.shape == ours.shape == (1, 1, 16, 16)
+    scale = np.max(np.abs(ref_out))
+    err = np.max(np.abs(ours - ref_out)) / scale
+    assert err < 1e-4, f"relative deviation {err:.2e}"
+
+
+@pytest.mark.slow
+def test_forward_parity_vs_reference_full_size():
+    """Same parity check at the production configuration (~65M params,
+    7 resolutions, attention at 16) on a 0.5 s input."""
+    cfg = dict(nf=128, ch_mult=(1, 1, 2, 2, 2, 2, 2), num_res_blocks=2,
+               attn_resolutions=(16,), image_size=256)
+    ref_out, ours = _reference_parity_case(cfg, f=256, t_frames=64)
+    assert ref_out.shape == ours.shape == (1, 1, 256, 64)
+    scale = np.max(np.abs(ref_out))
+    err = np.max(np.abs(ours - ref_out)) / scale
+    assert err < 1e-3, f"relative deviation {err:.2e}"

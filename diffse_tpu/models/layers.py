@@ -79,10 +79,40 @@ def conv3x3(features: int, init_scale: float = 1.0, name: Optional[str] = None,
     return ddpm_conv(features, 3, init_scale=init_scale, name=name, dtype=dtype)
 
 
-def group_norm(channels: int, name: Optional[str] = None) -> nn.GroupNorm:
+def group_norm(channels: int, name: Optional[str] = None,
+               dtype=None) -> nn.GroupNorm:
     """GroupNorm(min(C//4, 32), eps=1e-6), the NCSN++ convention
-    (layerspp.py:69, 175, 221)."""
-    return nn.GroupNorm(num_groups=min(channels // 4, 32), epsilon=1e-6, name=name)
+    (layerspp.py:69, 175, 221).
+
+    `dtype` is the output/compute dtype; flax computes the mean/variance
+    statistics in float32 regardless, so bf16 here only halves the HBM
+    traffic of the activations, not the statistical precision."""
+    return nn.GroupNorm(num_groups=min(channels // 4, 32), epsilon=1e-6,
+                        name=name, dtype=dtype)
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm + SiLU through the fused Pallas kernel
+    (ops/pallas_kernels.py::groupnorm_silu_pallas) — one VMEM round trip
+    instead of XLA's normalize/affine/activation chain.
+
+    Param-compatible with ``nn.GroupNorm`` (scale/bias under the same module
+    name), so checkpoints and the torch converter are unaffected by the flag.
+    Falls back to an equivalent jnp path where Mosaic is unavailable."""
+
+    channels: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        from ..ops.pallas_kernels import groupnorm_silu_pallas
+
+        return groupnorm_silu_pallas(
+            x.astype(jnp.float32), scale, bias,
+            num_groups=min(self.channels // 4, 32), eps=self.eps,
+        )
 
 
 class NIN(nn.Module):
@@ -121,14 +151,15 @@ class Combine(nn.Module):
 
     dim2: int  # channels of y (used only to size the 1x1 conv on x)
     method: str = "cat"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-        h = conv1x1(self.dim2, name="Conv_0")(x)
+        h = conv1x1(self.dim2, name="Conv_0", dtype=self.dtype)(x)
         if self.method == "cat":
-            return jnp.concatenate([h, y], axis=-1)
+            return jnp.concatenate([h, y.astype(h.dtype)], axis=-1)
         elif self.method == "sum":
-            return h + y
+            return (h + y).astype(h.dtype)
         else:
             raise ValueError(f"Method {self.method} not recognized.")
 
@@ -160,7 +191,9 @@ class AttnBlockpp(nn.Module):
         w = jax.nn.softmax(w, axis=-1)
         h = jnp.einsum("bqk,bkc->bqc", w, v, preferred_element_type=jnp.float32)
         h = h.reshape(b, hh, ww, c).astype(x.dtype)
-        h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
+        # NIN's f32 weights would promote the residual sum to f32; cast back
+        # so a half-precision trunk stays half-precision through attention.
+        h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h).astype(x.dtype)
         if not self.skip_rescale:
             return x + h
         return (x + h) / math.sqrt(2.0)
@@ -305,13 +338,29 @@ class ResnetBlockBigGANpp(nn.Module):
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
-    dtype: Optional[Any] = None  # compute dtype for convs/dense (norms stay f32)
+    dtype: Optional[Any] = None  # compute dtype for the whole block
+    # Use the fused Pallas GroupNorm+SiLU kernel for the two norm+act pairs
+    # (only valid when `act` is SiLU/swish; param tree is unchanged).
+    pallas_gn_silu: bool = False
+
+    def _gn_act(self, h, channels, name):
+        if self.pallas_gn_silu:
+            out = FusedGroupNormSiLU(channels, name=name)(h)
+            return out if self.dtype is None else out.astype(self.dtype)
+        return self.act(group_norm(channels, name=name, dtype=self.dtype)(
+            h if self.dtype is not None else h.astype(jnp.float32)))
 
     @nn.compact
     def __call__(self, x, temb=None, semb=None, train: bool = False):
         in_ch = x.shape[-1]
         out_ch = self.out_ch if self.out_ch else in_ch
-        h = self.act(group_norm(in_ch, name="GroupNorm_0")(x.astype(jnp.float32)))
+        # With a half-precision compute dtype the WHOLE block stays in that
+        # dtype (GroupNorm included — its statistics are still f32 inside
+        # flax): bouncing to f32 around every norm doubles the HBM traffic
+        # of the trunk, which is the inference bottleneck on TPU.
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = self._gn_act(x, in_ch, "GroupNorm_0")
 
         if self.up:
             if self.fir:
@@ -337,15 +386,16 @@ class ResnetBlockBigGANpp(nn.Module):
             h += nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=nn.initializers.zeros, dtype=self.dtype,
                           name="Dense_1")(self.act(semb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, name="GroupNorm_1")(h.astype(jnp.float32)))
+        h = self._gn_act(h, out_ch, "GroupNorm_1")
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
 
         if in_ch != out_ch or self.up or self.down:
             x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
 
-        h = h.astype(jnp.float32)
-        x = x.astype(jnp.float32)
+        if self.dtype is None:
+            h = h.astype(jnp.float32)
+            x = x.astype(jnp.float32)
         if not self.skip_rescale:
             return x + h
         return (x + h) / math.sqrt(2.0)

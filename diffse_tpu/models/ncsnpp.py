@@ -57,9 +57,17 @@ class NCSNppBase(nn.Module):
     embedding_type: str = "fourier"
     dropout: float = 0.0
     snr_conditioning: bool = False  # True -> NCSNpp_snr behavior
-    # compute dtype for the conv/dense trunk (e.g. jnp.bfloat16 for MXU half
-    # precision); params and normalizations stay float32. None = float32.
+    # Compute dtype for the full trunk (e.g. "bf16"): convs/dense run on the
+    # MXU in half precision AND activations cross HBM in half precision
+    # (GroupNorm statistics and attention internals stay f32; the output
+    # pyramid and final convs stay f32). None = float32 everywhere.
     dtype: Optional[str] = None
+    # Fuse each resblock's GroupNorm+SiLU pair into the Pallas kernel
+    # (ops/pallas_kernels.py). Only takes effect for the swish nonlinearity;
+    # param tree is unchanged. Default off: Mosaic compilation is unavailable
+    # over remote-compile TPU bridges (DEVNOTES.md) — validate on a native
+    # TPU toolchain before enabling in production.
+    use_pallas_groupnorm: bool = False
 
     @property
     def _compute_dtype(self):
@@ -81,6 +89,8 @@ class NCSNppBase(nn.Module):
                 fir=self.fir, fir_kernel=self.fir_kernel,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
                 dtype=self._compute_dtype,
+                pallas_gn_silu=(self.use_pallas_groupnorm
+                                and self.nonlinearity == "swish"),
             )
         raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
@@ -162,7 +172,7 @@ class NCSNppBase(nn.Module):
         if self.progressive_input != "none":
             input_pyramid = h
 
-        hs = [conv3x3(nf)(h)]
+        hs = [conv3x3(nf, dtype=self._compute_dtype)(h)]
         in_ch = nf
         for i_level in range(num_resolutions):
             for _i_block in range(self.num_res_blocks):
@@ -188,7 +198,8 @@ class NCSNppBase(nn.Module):
                     input_pyramid = layers.Downsample(
                         fir=self.fir, fir_kernel=self.fir_kernel, with_conv=False
                     )(input_pyramid)
-                    h = layers.Combine(dim2=h.shape[-1], method=combine_method)(
+                    h = layers.Combine(dim2=h.shape[-1], method=combine_method,
+                                       dtype=self._compute_dtype)(
                         input_pyramid, h
                     )
                     if combine_method == "cat":
@@ -227,20 +238,26 @@ class NCSNppBase(nn.Module):
                 )(h)
 
             if self.progressive != "none":
+                # The per-level pyramid GN+conv reads the full-width feature
+                # map: run it in the compute dtype, accumulating the (cheap,
+                # 4-channel) pyramid itself in f32.
+                cdt = self._compute_dtype
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
-                        pyramid = act(layers.group_norm(h.shape[-1])(h))
-                        pyramid = conv3x3(num_channels, init_scale=self.init_scale)(pyramid)
+                        pyramid = act(layers.group_norm(h.shape[-1], dtype=cdt)(h))
+                        pyramid = conv3x3(num_channels, init_scale=self.init_scale,
+                                          dtype=cdt)(pyramid).astype(jnp.float32)
                     elif self.progressive == "residual":
-                        pyramid = act(layers.group_norm(h.shape[-1])(h))
-                        pyramid = conv3x3(in_ch)(pyramid)
+                        pyramid = act(layers.group_norm(h.shape[-1], dtype=cdt)(h))
+                        pyramid = conv3x3(in_ch, dtype=cdt)(pyramid).astype(jnp.float32)
                 else:
                     if self.progressive == "output_skip":
                         pyramid = layers.Upsample(
                             fir=self.fir, fir_kernel=self.fir_kernel, with_conv=False
                         )(pyramid)
-                        pyramid_h = act(layers.group_norm(h.shape[-1])(h))
-                        pyramid_h = conv3x3(num_channels, init_scale=self.init_scale)(pyramid_h)
+                        pyramid_h = act(layers.group_norm(h.shape[-1], dtype=cdt)(h))
+                        pyramid_h = conv3x3(num_channels, init_scale=self.init_scale,
+                                            dtype=cdt)(pyramid_h).astype(jnp.float32)
                         pyramid = pyramid + pyramid_h
                     elif self.progressive == "residual":
                         pyramid = layers.Upsample(
@@ -290,6 +307,8 @@ def _add_size_args(parser):
     parser.add_argument("--image_size", type=int, default=None)
     parser.add_argument("--backbone_dtype", dest="dtype", type=str, default=None,
                         choices=("float32", "bf16"))
+    parser.add_argument("--pallas_groupnorm", dest="use_pallas_groupnorm",
+                        action="store_true", default=False)
     return parser
 
 

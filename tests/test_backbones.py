@@ -163,3 +163,41 @@ def test_ncsnpp_bf16_trunk():
     assert bool(jnp.all(jnp.isfinite(out16.real)))
     rel = float(jnp.linalg.norm(out16 - out32) / (jnp.linalg.norm(out32) + 1e-9))
     assert rel < 0.1, f"bf16 deviates too much: {rel}"
+
+
+def test_ncsnpp_bf16_trunk_matches_f32():
+    """The bf16 trunk (half-precision activations through the whole U-Net,
+    f32 GroupNorm statistics / attention internals / output pyramid) must
+    track the f32 forward closely and actually run in bf16."""
+    import numpy as np
+    from diffse_tpu.models import layers as L
+
+    cfg = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+               image_size=16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((2, 2, 16, 16))
+                     + 1j * rng.standard_normal((2, 2, 16, 16))).astype(np.complex64))
+    t = jnp.asarray([0.5, 0.9], jnp.float32)
+
+    m32 = NCSNpp(**cfg)
+    v = m32.init(jax.random.PRNGKey(0), x, t)
+    o32 = np.asarray(m32.apply(v, x, t))
+    o16 = np.asarray(NCSNpp(**cfg, dtype="bf16").apply(v, x, t))
+    rel = np.max(np.abs(o16 - o32)) / np.max(np.abs(o32))
+    assert rel < 0.05, f"bf16 trunk deviates {rel:.3f} from f32"
+
+    # the trunk genuinely stays bf16 (no silent f32 bounce per block)
+    seen = []
+    orig = L.ResnetBlockBigGANpp.__call__
+
+    def spy(self, xx, temb=None, semb=None, train=False):
+        out = orig(self, xx, temb, semb, train=train)
+        seen.append(out.dtype)
+        return out
+
+    L.ResnetBlockBigGANpp.__call__ = spy
+    try:
+        NCSNpp(**cfg, dtype="bf16").apply(v, x, t)
+    finally:
+        L.ResnetBlockBigGANpp.__call__ = orig
+    assert seen and all(d == jnp.bfloat16 for d in seen), seen

@@ -106,3 +106,31 @@ def test_pallas_groupnorm_no_silu(rng):
     out = groupnorm_silu_pallas(x, scale, bias, num_groups=2, apply_silu=False,
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ncsnpp_pallas_groupnorm_flag_parity():
+    """use_pallas_groupnorm=True must leave the param tree unchanged and
+    produce (numerically) the same forward as the flax GroupNorm path —
+    interpret/jnp fallback on CPU, Mosaic on real TPU toolchains."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models.ncsnpp import NCSNpp
+
+    cfg = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+               image_size=16)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.standard_normal((1, 2, 16, 16))
+                     + 1j * rng.standard_normal((1, 2, 16, 16))).astype(np.complex64))
+    t = jnp.asarray([0.7], jnp.float32)
+
+    base = NCSNpp(**cfg)
+    fused = NCSNpp(**cfg, use_pallas_groupnorm=True)
+    v = base.init(jax.random.PRNGKey(0), x, t)
+    v_fused = fused.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_fused)
+
+    o_base = np.asarray(base.apply(v, x, t))
+    o_fused = np.asarray(fused.apply(v, x, t))
+    np.testing.assert_allclose(o_fused, o_base, rtol=1e-4, atol=1e-5)

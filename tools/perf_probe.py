@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""One-off TPU perf probe: measure the fused 30-step BBED enhance program at a
+given (batch, num_frames) shape. Run in a subprocess (compiles can poison the
+PJRT client). Prints one PROBE json line.
+
+Usage: python tools/perf_probe.py <batch> <num_frames> [nfe] [dtype]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    batch = int(sys.argv[1])
+    num_frames = int(sys.argv[2])
+    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    dtype = sys.argv[4] if len(sys.argv) > 4 else None
+    if dtype in ("f32", "float32", "none"):
+        dtype = None
+    extra_kwargs = {}
+    for kv in sys.argv[5:]:
+        k, v = kv.split("=")
+        extra_kwargs[k] = {"true": True, "false": False}.get(v, v)
+
+    import jax
+
+    if extra_kwargs.pop("prng", None) == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+    from diffse_tpu.sampling import get_pc_sampler
+    from diffse_tpu.transforms import pad_spec
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5,
+    )
+    bk = dict(extra_kwargs)
+    if dtype:
+        bk["dtype"] = dtype
+    model = ScoreModel(
+        cfg, backbone_kwargs=bk,
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=n_steps),
+    )
+
+    rng = np.random.default_rng(0)
+    audio_len = (num_frames - 1) * cfg.hop_length
+    y_wav = jnp.asarray(rng.standard_normal((batch, audio_len)).astype(np.float32) * 0.1)
+
+    print(f"[probe b{batch} t{num_frames}] init on cpu...", file=sys.stderr, flush=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init_variables(jax.random.PRNGKey(0), num_frames=num_frames)
+    variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
+
+    score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
+
+    def enhance_batch(y_wav, key):
+        norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+        Y = pad_spec(model._forward_transform(model._stft(y_wav / norm))[:, None])
+        sampler = get_pc_sampler(
+            "reverse_diffusion", "ald", sde=model.sde, score_fn=score_fn, Y=Y,
+            denoise=True, eps=cfg.t_eps, snr=0.5, corrector_steps=1,
+        )
+        sample, _ = sampler(key)
+        return model.to_audio(sample[:, 0]) * norm
+
+    fn = jax.jit(enhance_batch)
+    print(f"[probe b{batch} t{num_frames}] compiling...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    fn(y_wav, jax.random.PRNGKey(1)).block_until_ready()
+    compile_s = time.time() - t0
+    print(f"[probe] compile+first: {compile_s:.1f}s", file=sys.stderr, flush=True)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        fn(y_wav, jax.random.PRNGKey(2 + i)).block_until_ready()
+        times.append(time.time() - t0)
+    wall = min(times)
+    audio_seconds = batch * audio_len / 16000
+    print("PROBE " + json.dumps({
+        "batch": batch, "num_frames": num_frames, "nfe": 2 * n_steps,
+        "dtype": dtype or "float32", "extra": extra_kwargs,
+        "wall_s": round(wall, 4), "rtf_x": round(audio_seconds / wall, 3),
+        "compile_s": round(compile_s, 1),
+        "utt_per_s": round(batch / wall, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,15 @@ def main():
     t0 = time.time()
     fn(y_wav, jax.random.PRNGKey(1)).block_until_ready()
     compile_s = time.time() - t0
+
+    flops = None
+    try:
+        cost = fn.lower(y_wav, jax.random.PRNGKey(1)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"[probe] cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
     print(f"[probe] compile+first: {compile_s:.1f}s", file=sys.stderr, flush=True)
 
     times = []
@@ -90,6 +99,8 @@ def main():
     print("PROBE " + json.dumps({
         "batch": batch, "num_frames": num_frames, "nfe": 2 * n_steps,
         "dtype": dtype or "float32", "extra": extra_kwargs,
+        "xla_flops": flops,
+        "tflops_effective": round(flops / wall / 1e12, 1) if flops else None,
         "wall_s": round(wall, 4), "rtf_x": round(audio_seconds / wall, 3),
         "compile_s": round(compile_s, 1),
         "utt_per_s": round(batch / wall, 3),

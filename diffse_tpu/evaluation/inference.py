@@ -136,11 +136,19 @@ def eval_enhance_file(
     t_orig = y_wav.shape[-1]
     frames = 1 + t_orig // model.cfg.hop_length
     t_pad = frames + (64 - frames % 64) % 64
+    # Zero-pad on the host to the bucket's sample count so the jit input
+    # shape is bucket-static (one compile per bucket, not per length —
+    # batch_eval.py does the same; the max-abs normalizer ignores the tail).
+    pad_samples = (t_pad - 1) * model.cfg.hop_length
+    xp = np.zeros(pad_samples, dtype=np.float32)
+    yp = np.zeros(pad_samples, dtype=np.float32)
+    xp[:t_orig] = np.asarray(x_wav).reshape(-1)[:pad_samples]
+    yp[:t_orig] = np.asarray(y_wav).reshape(-1)[:pad_samples]
     fn = _eval_fn(model, model_type, t_pad, fixed_snr=fixed_snr)
     x_hat = fn(
         variables,
-        jnp.asarray(x_wav)[None] if x_wav.ndim == 1 else jnp.asarray(x_wav),
-        jnp.asarray(y_wav)[None] if y_wav.ndim == 1 else jnp.asarray(y_wav),
+        jnp.asarray(xp)[None],
+        jnp.asarray(yp)[None],
         key,
         jnp.asarray(est_snr, dtype=jnp.float32),
     )

@@ -109,8 +109,10 @@ class FusedGroupNormSiLU(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         from ..ops.pallas_kernels import groupnorm_silu_pallas
 
+        # Input dtype is preserved (bf16 trunk -> bf16 HBM traffic); the
+        # kernel computes statistics in f32 internally.
         return groupnorm_silu_pallas(
-            x.astype(jnp.float32), scale, bias,
+            x, scale, bias,
             num_groups=min(self.channels // 4, 32), eps=self.eps,
         )
 

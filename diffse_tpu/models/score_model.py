@@ -648,9 +648,26 @@ class ScoreModel:
         else:
             raise ValueError(f"unknown snr_conditioned {cfg.snr_conditioned}")
 
-        # Static shape bucket: frames padded to a multiple of 64.
+        # Static shape bucket: frames padded to a multiple of 64. The
+        # waveforms are zero-padded on the host to the bucket's exact sample
+        # count so the jitted program's input shapes are bucket-static — one
+        # compile serves every utterance length in the bucket (jax.jit
+        # retraces per input shape, so passing raw lengths would recompile
+        # the full 65M-param program per distinct length). The max-abs
+        # normalizer ignores the zero tail; pad_spec inside becomes a no-op.
         frames = 1 + t_orig // cfg.hop_length
         t_pad = frames + (64 - frames % 64) % 64
+        pad_samples = (t_pad - 1) * cfg.hop_length
+        if t_orig < pad_samples:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, pad_samples - t_orig)]
+            x = jnp.pad(x, pad)
+            y = jnp.pad(y, pad)
+        elif t_orig > pad_samples:
+            # frames % 64 == 0: the bucket's iSTFT can only produce
+            # (t_pad-1)*hop samples anyway (same tail loss as the reference's
+            # istft-after-pad_spec and as batch_eval); keep the shape static.
+            x = x[..., :pad_samples]
+            y = y[..., :pad_samples]
 
         fn = self._enhance_jit(
             branch, t_pad, N, predictor, corrector, corrector_steps, oracle

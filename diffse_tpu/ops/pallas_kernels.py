@@ -27,25 +27,91 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _groupnorm_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps,
-                           apply_silu):
-    """One batch row per grid step: x_ref [S, C] (flattened spatial x channels).
+def _gn_pick_s_chunk(s: int, c: int, budget_bytes: int = 2 * 1024 * 1024) -> int:
+    """Largest spatial chunk that divides `s` and keeps the f32 working tile
+    within `budget_bytes` (Mosaic scoped-vmem stack is ~16 MB on v5e; the
+    block itself + double buffering also live there)."""
+    cap = max(budget_bytes // (4 * c), 8)
+    best = s
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= cap and s % cand == 0:
+            best = cand
+            break
+    if best > cap and s > cap:
+        # no divisor found under the cap; fall back to whole-s (small tensors)
+        best = s
+    return min(best, s)
 
-    GroupNorm statistics are computed per channel group over (spatial, C/G),
-    then scale/shift and (optionally) SiLU are applied — one VMEM round trip
-    instead of XLA's normalize/affine/activation chain.
+
+def _groupnorm_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps,
+                           apply_silu, s_chunk):
+    """One (batch row, channel-group tile) per grid step: x_ref [1, S, Ct].
+
+    GroupNorm statistics are computed per channel group over (spatial, C/G);
+    the channel tile Ct is group-aligned, so each tile's statistics are
+    self-contained. Scale/shift and (optionally) SiLU are applied in the same
+    kernel — the block is loaded from HBM once and written once (XLA's chain
+    pays an extra full read for the statistics pass).
+
+    Layout/VMEM notes (what makes this compile and run fast):
+      - the channel dim stays the minor (lane) dim throughout; the spatial
+        reduction is over sublanes. Reshaping C -> (G, C/G) on a 2-D tile
+        (the naive formulation) is a lane-dim layout cast Mosaic rejects, so
+        the [C] -> [G] aggregation and [G] -> [C] scatter-back are expressed
+        as tiny one-hot matmuls instead,
+      - both passes stream the block through f32 in `s_chunk` slices inside
+        fori_loops: upcasting the whole block to f32 at once would blow the
+        ~16 MB scoped-vmem stack at production shapes ([16384, 128]),
+      - input may be f32 or bf16; statistics always accumulate in f32; the
+        store casts back to the input dtype, so a half-precision trunk pays
+        half-precision HBM traffic here.
     """
-    x = x_ref[0]  # block is [1, S, C]
-    s, c = x.shape
-    cg = c // num_groups
-    xg = x.reshape(s, num_groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(s, c)
-    out = xn * scale_ref[...] + bias_ref[...]
-    if apply_silu:
-        out = out * jax.nn.sigmoid(out)
-    o_ref[0] = out
+    s, ct = x_ref.shape[1], x_ref.shape[2]
+    cg = ct // num_groups
+    n = s * cg
+    nchunks = s // s_chunk
+
+    def stats_body(i, carry):
+        ssum, ssq = carry
+        xb = x_ref[0, pl.ds(i * s_chunk, s_chunk), :].astype(jnp.float32)
+        return (
+            ssum + jnp.sum(xb, axis=0, keepdims=True),
+            ssq + jnp.sum(xb * xb, axis=0, keepdims=True),
+        )
+
+    zeros = jnp.zeros((1, ct), jnp.float32)
+    ssum, ssq = jax.lax.fori_loop(0, nchunks, stats_body, (zeros, zeros))
+
+    # M[c,g] = 1 iff channel c belongs to group g (one-hot matmuls in place
+    # of lane-dim reshapes).
+    ci = jax.lax.broadcasted_iota(jnp.int32, (ct, num_groups), 0) // cg
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ct, num_groups), 1)
+    m_cg = (ci == gi).astype(jnp.float32)  # [Ct, G]
+    gi2 = jax.lax.broadcasted_iota(jnp.int32, (num_groups, ct), 0)
+    ci2 = jax.lax.broadcasted_iota(jnp.int32, (num_groups, ct), 1) // cg
+    m_gc = (ci2 == gi2).astype(jnp.float32)  # [G, Ct]
+
+    mean_g = jnp.dot(ssum, m_cg, preferred_element_type=jnp.float32) / n
+    var_g = (
+        jnp.dot(ssq, m_cg, preferred_element_type=jnp.float32) / n
+        - mean_g * mean_g
+    )
+    mean_c = jnp.dot(mean_g, m_gc, preferred_element_type=jnp.float32)  # [1,Ct]
+    rstd_c = jnp.dot(
+        jax.lax.rsqrt(var_g + eps), m_gc, preferred_element_type=jnp.float32
+    )
+    a = rstd_c * scale_ref[...].astype(jnp.float32)[None, :]
+    b = bias_ref[...].astype(jnp.float32)[None, :] - mean_c * a
+
+    def apply_body(i, _):
+        xb = x_ref[0, pl.ds(i * s_chunk, s_chunk), :].astype(jnp.float32)
+        out = xb * a + b
+        if apply_silu:
+            out = out * jax.nn.sigmoid(out)
+        o_ref[0, pl.ds(i * s_chunk, s_chunk), :] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, apply_body, 0)
 
 
 def groupnorm_silu_pallas(
@@ -61,36 +127,62 @@ def groupnorm_silu_pallas(
 
     The GroupNorm -> activation pair opens every NCSN++ residual block
     (models/layers.py); fusing it keeps the normalized activations in VMEM.
-    One grid step per batch row: requires H*W*C*4 bytes <= ~VMEM; for the
-    production shapes ([256, 64, 128] f32 = 8 MB) this fits a v5e core.
+    One grid step per batch row: requires H*W*C*itemsize bytes (x2 for
+    pipelining) <= VMEM; for the production shapes ([256, 64, 128] bf16 =
+    4 MB) this fits a v5e core comfortably.
+
+    Input may be f32 or bf16: statistics/normalization always run in f32 in
+    VMEM; the output keeps the input dtype (a bf16 trunk pays bf16 HBM
+    traffic through this op).
 
     Args:
         x: ``[B, H, W, C]``.
-        scale, bias: ``[C]`` affine parameters.
+        scale, bias: ``[C]`` affine parameters (kept f32 inside the kernel).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
     assert c % num_groups == 0
-    x2 = x.reshape(b, h * w, c)
+    s = h * w
+    x2 = x.reshape(b, s, c)
+    scale = scale.astype(jnp.float32)
+    bias = bias.astype(jnp.float32)
+
+    # Channel-tile the grid on group boundaries. Constraints: the lane
+    # (last) block dim must be a multiple of 128 or the whole C (Mosaic
+    # tiling rule), the tile must be group-aligned, and the auto-pipeline
+    # double-buffers both input and output blocks (4 block-sized buffers
+    # live at once) within the ~16 MB scoped-vmem budget on v5e. Shapes
+    # whose smallest legal tile still busts the budget (e.g. the level-0
+    # [16384, 128] map) take the jnp path — the fused GN+SiLU+conv kernel
+    # (groupnorm_silu_conv3x3_pallas) is the right tool there.
+    cg = c // num_groups
+    itemsize = jnp.dtype(x.dtype).itemsize
+    ct = c
+    if c > 128 and c % 128 == 0 and 128 % cg == 0:
+        ct = 128
+    groups_per_tile = ct // cg
+    s_chunk = _gn_pick_s_chunk(s, ct)
+    if not interpret and 4 * s * ct * itemsize > 15 * 1024 * 1024:
+        return _groupnorm_silu_jnp(x, scale, bias, num_groups, eps, apply_silu)
 
     kernel = functools.partial(
-        _groupnorm_silu_kernel, num_groups=num_groups, eps=eps,
-        apply_silu=apply_silu,
+        _groupnorm_silu_kernel, num_groups=groups_per_tile, eps=eps,
+        apply_silu=apply_silu, s_chunk=s_chunk,
     )
     try:
         out = pl.pallas_call(
             kernel,
-            grid=(b,),
+            grid=(b, c // ct),
             in_specs=[
-                pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
-                pl.BlockSpec((c,), lambda i: (0,)),
-                pl.BlockSpec((c,), lambda i: (0,)),
+                pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((ct,), lambda i, j: (j,)),
+                pl.BlockSpec((ct,), lambda i, j: (j,)),
             ],
-            out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
             out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
             interpret=interpret,
-        )(x2, scale.astype(x2.dtype), bias.astype(x2.dtype))
+        )(x2, scale, bias)
         return out.reshape(b, h, w, c)
     except Exception:
         # Mosaic compilation unavailable (e.g. remote-compile bridges without
@@ -100,14 +192,15 @@ def groupnorm_silu_pallas(
 
 def _groupnorm_silu_jnp(x, scale, bias, num_groups, eps, apply_silu):
     b, h, w, c = x.shape
-    xg = x.reshape(b, h * w, num_groups, c // num_groups)
+    xg = x.astype(jnp.float32).reshape(b, h * w, num_groups, c // num_groups)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
     xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
-    out = xn * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+    out = xn * scale.reshape(1, 1, 1, -1).astype(jnp.float32) \
+        + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
-    return out
+    return out.astype(x.dtype)
 
 
 def _fused_bias_lrelu_kernel(x_ref, b_ref, o_ref, *, negative_slope, scale):
@@ -146,3 +239,275 @@ def fused_bias_leaky_relu_pallas(
         interpret=interpret,
     )(x2, bias.astype(x2.dtype))
     return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm + SiLU + 3x3 conv
+# ---------------------------------------------------------------------------
+#
+# The NCSN++ trunk is HBM-bandwidth-bound at inference (DEVNOTES.md): each
+# residual block runs two GroupNorm -> SiLU -> conv3x3 chains on full-width
+# feature maps, and XLA executes each chain as
+#     stats read + normalize/SiLU (read, write) + conv (read, write)
+# = 3 reads + 2 writes of the map. This kernel computes the normalize + SiLU
+# + 3x3 convolution in ONE pass (the group statistics come from a cheap XLA
+# reduction prolog), i.e. 2 reads + 1 write — removing a full read+write of
+# the feature map per chain. Functionally it replaces the reference's
+# GroupNorm/act/conv sequence in every BigGAN resblock
+# (sgmse/backbones/ncsnpp_utils/layerspp.py:214-276).
+#
+# The conv is expressed as 9 MXU matmuls over shifted views of the activated
+# tile held in VMEM; halo rows come in as two extra 1-row blocks. The
+# optional epilogue fuses the conv bias + per-batch conditioning bias
+# (timestep/SNR embedding Dense output) and the residual skip-add * 1/sqrt(2)
+# — everything the resblock does between convs except dropout (training with
+# dropout falls back to the unfused path).
+
+
+def _gn_silu_conv3x3_kernel(x_ref, top_ref, bot_ref, a_ref, b_ref, w_ref,
+                            bias_ref, o_ref, *, h_t, wdt, cin, cout,
+                            compute_dtype, with_skip, skip_coef,
+                            skip_ref=None):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    a = a_ref[0].astype(jnp.float32)  # [1, Cin] per-channel scale (rstd*gamma)
+    b = b_ref[0].astype(jnp.float32)  # [1, Cin] per-channel shift
+
+    def act(t):
+        v = t.astype(jnp.float32) * a + b
+        return v * jax.nn.sigmoid(v)
+
+    mid = act(x_ref[0])  # [h_t, W, Cin] f32
+    top = act(top_ref[0])  # [1, W, Cin]
+    bot = act(bot_ref[0])
+    # SAME zero padding at the image's first/last row (the halo blocks are
+    # clamped copies of row 0 / row H-1 there).
+    top = jnp.where(j == 0, 0.0, top)
+    bot = jnp.where(j == nj - 1, 0.0, bot)
+
+    full = jnp.concatenate([top, mid, bot], axis=0)  # [h_t+2, W, Cin]
+    zcol = jnp.zeros((h_t + 2, 1, cin), jnp.float32)
+    padded = jnp.concatenate([zcol, full, zcol], axis=1)  # [h_t+2, W+2, Cin]
+    if compute_dtype is not None:
+        # match the unfused path: activations cross into the conv in the
+        # trunk compute dtype (e.g. bf16 on the MXU), accumulation in f32
+        padded = padded.astype(compute_dtype)
+
+    acc = jnp.zeros((h_t * wdt, cout), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            sl = padded[dr : dr + h_t, dc : dc + wdt, :].reshape(h_t * wdt, cin)
+            acc = acc + jnp.dot(
+                sl, w_ref[dr * 3 + dc], preferred_element_type=jnp.float32
+            )
+
+    out = acc + bias_ref[0].astype(jnp.float32)  # [1, Cout] broadcast
+    out = out.reshape(h_t, wdt, cout)
+    if with_skip:
+        out = (skip_ref[0].astype(jnp.float32) + out) * skip_coef
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _gn_stats_ab(x, gn_scale, gn_bias, num_groups, eps):
+    """Per-(batch, channel) affine from GroupNorm statistics: one cheap XLA
+    read of x. Returns a, b with  normalized = x * a + b."""
+    bsz, h, w, c = x.shape
+    cg = c // num_groups
+    xg = x.astype(jnp.float32).reshape(bsz, h * w, num_groups, cg)
+    mean = jnp.mean(xg, axis=(1, 3))  # [B, G]
+    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, cg, axis=1)  # [B, C]
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    a = rstd_c * gn_scale.astype(jnp.float32)[None, :]
+    b = gn_bias.astype(jnp.float32)[None, :] - mean_c * a
+    return a, b
+
+
+def _gn_silu_conv3x3_reference(x, gn_scale, gn_bias, w, bias_total, skip,
+                               skip_coef, num_groups, eps, compute_dtype):
+    """jnp reference: same math as the kernel (and as the unfused flax
+    path), used for CPU fallback, interpret-mode tests, and the backward
+    pass of the custom VJP."""
+    a, b = _gn_stats_ab(x, gn_scale, gn_bias, num_groups, eps)
+    v = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+    act = v * jax.nn.sigmoid(v)
+    cd = compute_dtype or jnp.float32
+    out = jax.lax.conv_general_dilated(
+        act.astype(cd), w.astype(cd), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + bias_total.astype(jnp.float32)[:, None, None, :]
+    if skip is not None:
+        out = (skip.astype(jnp.float32) + out) * skip_coef
+    return out.astype(x.dtype)
+
+
+def _gn_silu_conv3x3_pallas_impl(x, gn_scale, gn_bias, w, bias_total, skip,
+                                 skip_coef, num_groups, eps, compute_dtype,
+                                 interpret):
+    bsz, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    a, b = _gn_stats_ab(x, gn_scale, gn_bias, num_groups, eps)
+    # [B, C] vectors go in as [B, 1, C] so their (second-minor, minor) block
+    # dims (1, C) equal the array dims (a Mosaic block-shape requirement).
+    a = a[:, None, :]
+    b = b[:, None, :]
+    bias_total = bias_total[:, None, :]
+
+    # Row-tile height: ~4096 spatial rows per MXU matmul, dividing H.
+    h_t = min(h, max(4096 // wdt, 8))
+    while h % h_t:
+        h_t //= 2
+    w9 = w.reshape(9, cin, cout)
+    if compute_dtype is not None:
+        w9 = w9.astype(compute_dtype)
+
+    kernel = functools.partial(
+        _gn_silu_conv3x3_kernel, h_t=h_t, wdt=wdt, cin=cin, cout=cout,
+        compute_dtype=compute_dtype, with_skip=skip is not None,
+        skip_coef=skip_coef,
+    )
+
+    def top_idx(i, j):
+        return (i, jnp.maximum(j * h_t - 1, 0), 0, 0)
+
+    def bot_idx(i, j):
+        return (i, jnp.minimum((j + 1) * h_t, h - 1), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, h_t, wdt, cin), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, wdt, cin), top_idx),
+        pl.BlockSpec((1, 1, wdt, cin), bot_idx),
+        pl.BlockSpec((1, 1, cin), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, 1, cin), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((9, cin, cout), lambda i, j: (0, 0, 0)),
+        pl.BlockSpec((1, 1, cout), lambda i, j: (i, 0, 0)),
+    ]
+    args = [x, x, x, a, b, w9, bias_total]
+    if skip is not None:
+        in_specs.append(pl.BlockSpec((1, h_t, wdt, cout), lambda i, j: (i, j, 0, 0)))
+        args.append(skip)
+
+        def kernel_skip(x_ref, top_ref, bot_ref, a_ref, b_ref, w_ref, bias_ref,
+                        skip_ref, o_ref):
+            kernel(x_ref, top_ref, bot_ref, a_ref, b_ref, w_ref, bias_ref,
+                   o_ref, skip_ref=skip_ref)
+
+        body = kernel_skip
+    else:
+        body = kernel
+
+    out = pl.pallas_call(
+        body,
+        grid=(bsz, h // h_t),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h_t, wdt, cout), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, cout), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _gn_silu_conv3x3_vjp(x, gn_scale, gn_bias, w, bias_total, skip,
+                         with_skip, skip_coef, num_groups, eps, compute_dtype,
+                         interpret):
+    return _gn_silu_conv3x3_pallas_impl(
+        x, gn_scale, gn_bias, w, bias_total, skip if with_skip else None,
+        skip_coef, num_groups, eps, compute_dtype, interpret,
+    )
+
+
+def _gn_silu_conv3x3_fwd(x, gn_scale, gn_bias, w, bias_total, skip,
+                         with_skip, skip_coef, num_groups, eps, compute_dtype,
+                         interpret):
+    out = _gn_silu_conv3x3_vjp(
+        x, gn_scale, gn_bias, w, bias_total, skip, with_skip, skip_coef,
+        num_groups, eps, compute_dtype, interpret,
+    )
+    return out, (x, gn_scale, gn_bias, w, bias_total, skip)
+
+
+def _gn_silu_conv3x3_bwd(with_skip, skip_coef, num_groups, eps, compute_dtype,
+                         interpret, res, g):
+    """Backward via the jnp reference (recompute): the kernel is a pure
+    reformulation of the same math, so its VJP is the reference's VJP.
+    When with_skip is False the reference ignores the (dummy) skip input and
+    jax.vjp yields a zero cotangent for it automatically."""
+    x, gn_scale, gn_bias, w, bias_total, skip = res
+
+    def ref(x_, s_, b_, w_, bt_, sk_):
+        return _gn_silu_conv3x3_reference(
+            x_, s_, b_, w_, bt_, sk_ if with_skip else None,
+            skip_coef, num_groups, eps, compute_dtype,
+        )
+
+    _, vjp = jax.vjp(ref, x, gn_scale, gn_bias, w, bias_total, skip)
+    return vjp(g)
+
+
+_gn_silu_conv3x3_vjp.defvjp(_gn_silu_conv3x3_fwd, _gn_silu_conv3x3_bwd)
+
+
+def groupnorm_silu_conv3x3_pallas(
+    x: jnp.ndarray,
+    gn_scale: jnp.ndarray,
+    gn_bias: jnp.ndarray,
+    w: jnp.ndarray,
+    bias_total: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-6,
+    skip: jnp.ndarray | None = None,
+    skip_coef: float = 1.0,
+    compute_dtype=None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused GroupNorm + SiLU + conv3x3 (+bias [+skip-add * skip_coef]).
+
+    Args:
+        x: ``[B, H, W, Cin]`` feature map (f32 or bf16).
+        gn_scale, gn_bias: ``[Cin]`` GroupNorm affine parameters.
+        w: ``[3, 3, Cin, Cout]`` HWIO conv weights.
+        bias_total: ``[B, Cout]`` conv bias + any per-batch conditioning bias
+            (e.g. the timestep-embedding Dense output) folded together.
+        skip: optional ``[B, H, W, Cout]`` residual added after the conv,
+            with the sum scaled by ``skip_coef`` (1/sqrt(2) in NCSN++).
+        compute_dtype: dtype for the conv matmuls (bf16 for the half trunk);
+            statistics/normalization always run in f32.
+
+    Falls back to the equivalent jnp chain when the shape doesn't meet the
+    kernel's tiling constraints (lane dim multiple of 128, W multiple of 8)
+    or when Mosaic is unavailable.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    ok = (
+        cin % 128 == 0
+        and cout % 128 == 0
+        and wdt % 8 == 0
+        and h >= 8
+        and cin % num_groups == 0
+    )
+    if not ok:
+        return _gn_silu_conv3x3_reference(
+            x, gn_scale, gn_bias, w, bias_total, skip, skip_coef, num_groups,
+            eps, compute_dtype,
+        )
+    try:
+        skip_arg = skip if skip is not None else jnp.zeros(
+            (bsz, h, wdt, cout), x.dtype
+        )
+        return _gn_silu_conv3x3_vjp(
+            x, gn_scale, gn_bias, w, bias_total, skip_arg, skip is not None,
+            skip_coef, num_groups, eps, compute_dtype, interpret,
+        )
+    except Exception:
+        return _gn_silu_conv3x3_reference(
+            x, gn_scale, gn_bias, w, bias_total, skip, skip_coef, num_groups,
+            eps, compute_dtype,
+        )

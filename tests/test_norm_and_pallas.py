@@ -134,3 +134,145 @@ def test_ncsnpp_pallas_groupnorm_flag_parity():
     o_base = np.asarray(base.apply(v, x, t))
     o_fused = np.asarray(fused.apply(v, x, t))
     np.testing.assert_allclose(o_fused, o_base, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_groupnorm_silu_bf16_dtype_and_accuracy(rng):
+    """bf16 input -> bf16 output (half HBM traffic on the trunk), with f32
+    statistics inside: result must track the f32 reference within bf16
+    quantization error."""
+    from diffse_tpu.ops.pallas_kernels import groupnorm_silu_pallas
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 32)).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * rng.standard_normal(32).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.standard_normal(32).astype(np.float32))
+
+    ref = groupnorm_silu_pallas(x, scale, bias, num_groups=8, interpret=True)
+    out = groupnorm_silu_pallas(x.astype(jnp.bfloat16), scale, bias,
+                                num_groups=8, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref), atol=0.05, rtol=0.05
+    )
+
+
+class TestFusedGNSiLUConv:
+    """groupnorm_silu_conv3x3_pallas: normalize+SiLU+conv3x3(+bias+skip) in
+    one kernel — parity vs the separate flax chain, plus gradients."""
+
+    def _mk(self, rng, b=2, h=16, w=8, cin=128, cout=128):
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+        gs = jnp.asarray(1.0 + 0.1 * rng.standard_normal(cin).astype(np.float32))
+        gb = jnp.asarray(0.1 * rng.standard_normal(cin).astype(np.float32))
+        wk = jnp.asarray(
+            0.05 * rng.standard_normal((3, 3, cin, cout)).astype(np.float32))
+        bt = jnp.asarray(0.1 * rng.standard_normal((b, cout)).astype(np.float32))
+        return x, gs, gb, wk, bt
+
+    def _flax_chain(self, x, gs, gb, wk, bt, skip=None, coef=1.0):
+        import flax.linen as nn
+
+        g = min(x.shape[-1] // 4, 32)
+        gn = nn.GroupNorm(num_groups=g, epsilon=1e-6)
+        h = gn.apply({"params": {"scale": gs, "bias": gb}}, x)
+        h = jax.nn.silu(h)
+        h = jax.lax.conv_general_dilated(
+            h, wk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = h + bt[:, None, None, :]
+        if skip is not None:
+            h = (skip + h) * coef
+        return h
+
+    def test_matches_flax_chain(self, rng):
+        from diffse_tpu.ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+        x, gs, gb, wk, bt = self._mk(rng)
+        g = min(x.shape[-1] // 4, 32)
+        out = groupnorm_silu_conv3x3_pallas(
+            x, gs, gb, wk, bt, num_groups=g, interpret=True)
+        ref = self._flax_chain(x, gs, gb, wk, bt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_skip_epilogue(self, rng):
+        from diffse_tpu.ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+        x, gs, gb, wk, bt = self._mk(rng)
+        skip = jnp.asarray(
+            rng.standard_normal(x.shape).astype(np.float32))
+        g = min(x.shape[-1] // 4, 32)
+        coef = 1.0 / np.sqrt(2.0)
+        out = groupnorm_silu_conv3x3_pallas(
+            x, gs, gb, wk, bt, num_groups=g, skip=skip, skip_coef=coef,
+            interpret=True)
+        ref = self._flax_chain(x, gs, gb, wk, bt, skip=skip, coef=coef)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_bf16_compute(self, rng):
+        from diffse_tpu.ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+        x, gs, gb, wk, bt = self._mk(rng)
+        g = min(x.shape[-1] // 4, 32)
+        out = groupnorm_silu_conv3x3_pallas(
+            x.astype(jnp.bfloat16), gs, gb, wk, bt, num_groups=g,
+            compute_dtype=jnp.bfloat16, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        ref = self._flax_chain(x, gs, gb, wk, bt)
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32), np.asarray(ref),
+            atol=0.15, rtol=0.1)
+
+    def test_cin_cout_mismatch(self, rng):
+        from diffse_tpu.ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+        x, gs, gb, _, _ = self._mk(rng, cin=128)
+        wk = jnp.asarray(
+            0.05 * np.random.default_rng(1).standard_normal(
+                (3, 3, 128, 256)).astype(np.float32))
+        bt = jnp.zeros((2, 256), jnp.float32)
+        g = 32
+        out = groupnorm_silu_conv3x3_pallas(
+            x, gs, gb, wk, bt, num_groups=g, interpret=True)
+        ref = self._flax_chain(x, gs, gb, wk, bt)
+        assert out.shape == (2, 16, 8, 256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_gradients_match_reference(self, rng):
+        from diffse_tpu.ops.pallas_kernels import (
+            _gn_silu_conv3x3_reference,
+            groupnorm_silu_conv3x3_pallas,
+        )
+
+        x, gs, gb, wk, bt = self._mk(rng, b=1, h=8, w=8)
+        g = 32
+
+        def loss_fused(args):
+            x_, gs_, gb_, wk_, bt_ = args
+            out = groupnorm_silu_conv3x3_pallas(
+                x_, gs_, gb_, wk_, bt_, num_groups=g, interpret=True)
+            return jnp.sum(out * out)
+
+        def loss_ref(args):
+            x_, gs_, gb_, wk_, bt_ = args
+            out = _gn_silu_conv3x3_reference(
+                x_, gs_, gb_, wk_, bt_, None, 1.0, g, 1e-6, None)
+            return jnp.sum(out * out)
+
+        gf = jax.grad(loss_fused)((x, gs, gb, wk, bt))
+        gr = jax.grad(loss_ref)((x, gs, gb, wk, bt))
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-3)
+
+    def test_fallback_on_unsupported_shape(self, rng):
+        """Cin=32 (not a multiple of 128) must transparently take the jnp
+        reference path."""
+        from diffse_tpu.ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+        x, gs, gb, wk, bt = self._mk(rng, cin=32, cout=32)
+        out = groupnorm_silu_conv3x3_pallas(
+            x, gs, gb, wk, bt, num_groups=8, interpret=True)
+        ref = self._flax_chain(x, gs, gb, wk, bt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)

@@ -211,3 +211,36 @@ def test_enhance_snr_sweep_reuses_one_compile():
     assert not np.allclose(out[0.3], out[0.8]), (
         "different corrector snr must change the enhanced output"
     )
+
+
+@pytest.mark.slow
+def test_enhance_length_variation_reuses_one_compile():
+    """Different utterance lengths in the same 64-frame bucket must share ONE
+    compiled program: enhance() zero-pads waveforms to the bucket's sample
+    count on the host, so the jit never sees a raw per-utterance shape (a
+    fresh 65M-param compile per length would make full-set eval
+    compile-bound on TPU)."""
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5,
+    )
+    backbone = dict(nf=4, ch_mult=(1, 1, 1, 1, 1), num_res_blocks=1,
+                    attn_resolutions=(16,), image_size=256)
+    model = ScoreModel(
+        cfg, backbone_kwargs=backbone,
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+
+    rng = np.random.default_rng(0)
+    outs = {}
+    # 2048 and 5000 samples both land in the 64-frame bucket
+    for n in (2048, 5000):
+        y = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32) * 0.1)
+        outs[n] = model.enhance(variables, y, y, key=jax.random.PRNGKey(1), N=3)
+        assert outs[n].shape == (n,)
+    assert len(model._enhance_cache) == 1
+    jitted = next(iter(model._enhance_cache.values()))
+    assert jitted._cache_size() == 1, (
+        f"same bucket must not retrace per length, traces={jitted._cache_size()}"
+    )

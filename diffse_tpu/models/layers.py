@@ -117,6 +117,41 @@ class FusedGroupNormSiLU(nn.Module):
         )
 
 
+class _GNParams(nn.Module):
+    """Declares GroupNorm-compatible affine params (same names/shapes as
+    ``nn.GroupNorm``) without running the op — the fused Pallas path computes
+    the normalization itself but must keep the param tree identical so
+    checkpoints and the torch converter are unaffected."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.channels,)),
+            self.param("bias", nn.initializers.zeros, (self.channels,)),
+        )
+
+
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible params (kernel HWIO + bias) with the DDPM
+    initialization, for convs executed inside a fused Pallas kernel."""
+
+    kernel_size: int
+    in_ch: int
+    features: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", default_init(self.init_scale),
+            (self.kernel_size, self.kernel_size, self.in_ch, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class NIN(nn.Module):
     """Network-in-network 1x1 channel mixing via einsum
     (ncsnpp_utils/layers.py:546-555), NHWC."""
@@ -326,10 +361,30 @@ class ResnetBlockDDPMpp(nn.Module):
         return (x + h) / math.sqrt(2.0)
 
 
+def _conv_nhwc(x, w, dtype, strides=(1, 1)):
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, w, strides, "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ResnetBlockBigGANpp(nn.Module):
     """BigGAN-style residual block with in-block FIR up/down-sampling
     (layerspp.py:214-276); optional `semb` realizes the `_snr` variant
-    (layerspp.py:333-400)."""
+    (layerspp.py:333-400).
+
+    The optional ``x2`` input is the TPU-native replacement for the
+    reference's explicit skip concatenation (ncsnpp.py:340): the block
+    treats its input as the virtual concat ``[x, x2]`` but never
+    materializes it. GroupNorm statistics are assembled from per-channel
+    partial sums of the two halves (exact even when a group crosses the
+    boundary), and a convolution is linear in its input channels, so
+    normalizing each half with per-channel affine vectors and summing two
+    convs with the split kernel is exact — it just removes a full
+    feature-map write + read from every up-path block (the HBM bottleneck
+    at serving time)."""
 
     act: Callable
     out_ch: Optional[int] = None
@@ -353,15 +408,86 @@ class ResnetBlockBigGANpp(nn.Module):
             h if self.dtype is not None else h.astype(jnp.float32)))
 
     @nn.compact
-    def __call__(self, x, temb=None, semb=None, train: bool = False):
-        in_ch = x.shape[-1]
+    def __call__(self, x, temb=None, semb=None, train: bool = False,
+                 x2=None):
+        in_ch = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         out_ch = self.out_ch if self.out_ch else in_ch
+        num_groups0 = min(in_ch // 4, 32)
+        cg0 = in_ch // num_groups0
+        split_ok = (
+            x2 is not None
+            and not self.up
+            and not self.down
+            and not self.pallas_gn_silu
+            and in_ch % num_groups0 == 0
+        )
+        if x2 is not None and not split_ok:
+            x = jnp.concatenate([x, x2], axis=-1)
+            x2 = None
         # With a half-precision compute dtype the WHOLE block stays in that
         # dtype (GroupNorm included — its statistics are still f32 inside
         # flax): bouncing to f32 around every norm doubles the HBM traffic
         # of the trunk, which is the inference bottleneck on TPU.
         if self.dtype is not None:
             x = x.astype(self.dtype)
+            if x2 is not None:
+                x2 = x2.astype(self.dtype)
+
+        if x2 is not None:
+            return self._call_split(x, x2, temb, semb, train, in_ch, out_ch,
+                                    num_groups0, cg0)
+
+        # Fully-fused Pallas path: each GroupNorm+SiLU+conv3x3 chain (plus
+        # the conditioning bias and the residual combine) runs as ONE kernel
+        # — 2 HBM reads + 1 write per chain instead of XLA's 3+2. Only for
+        # non-resampling blocks (the FIR resample sits between norm and conv)
+        # and when dropout is inactive; the op itself falls back to the
+        # equivalent jnp chain for shapes outside the kernel's tiling rules.
+        fused_ok = (
+            self.pallas_gn_silu
+            and not self.up
+            and not self.down
+            and (self.dropout == 0.0 or not train)
+        )
+        if fused_ok:
+            from ..ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+            gs0, gb0 = _GNParams(in_ch, name="GroupNorm_0")()
+            w0, b0 = _ConvParams(3, in_ch, out_ch, name="Conv_0")()
+            bias0 = jnp.broadcast_to(
+                b0.astype(jnp.float32)[None, :], (x.shape[0], out_ch)
+            )
+            if temb is not None:
+                bias0 = bias0 + nn.Dense(
+                    out_ch, kernel_init=default_init(),
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="Dense_0")(self.act(temb)).astype(jnp.float32)
+            if semb is not None:
+                bias0 = bias0 + nn.Dense(
+                    out_ch, kernel_init=default_init(),
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="Dense_1")(self.act(semb)).astype(jnp.float32)
+            h = groupnorm_silu_conv3x3_pallas(
+                x, gs0, gb0, w0, bias0,
+                num_groups=min(in_ch // 4, 32), compute_dtype=self.dtype,
+            )
+
+            gs1, gb1 = _GNParams(out_ch, name="GroupNorm_1")()
+            w1, b1 = _ConvParams(3, out_ch, out_ch,
+                                 init_scale=self.init_scale, name="Conv_1")()
+            if in_ch != out_ch:
+                x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
+            bias1 = jnp.broadcast_to(
+                b1.astype(jnp.float32)[None, :], (x.shape[0], out_ch)
+            )
+            out = groupnorm_silu_conv3x3_pallas(
+                h, gs1, gb1, w1, bias1,
+                num_groups=min(out_ch // 4, 32), compute_dtype=self.dtype,
+                skip=x,
+                skip_coef=(1.0 / math.sqrt(2.0)) if self.skip_rescale else 1.0,
+            )
+            return out if self.dtype is not None else out.astype(jnp.float32)
+
         h = self._gn_act(x, in_ch, "GroupNorm_0")
 
         if self.up:
@@ -401,6 +527,84 @@ class ResnetBlockBigGANpp(nn.Module):
         if not self.skip_rescale:
             return x + h
         return (x + h) / math.sqrt(2.0)
+
+    def _call_split(self, x, x2, temb, semb, train, in_ch, out_ch,
+                    num_groups, cg):
+        """Virtual-concat path: the block input is logically
+        ``concatenate([x, x2], -1)`` but is processed as two halves — exact
+        (partial-sum GroupNorm statistics + conv linearity), with the concat
+        buffer never written to HBM. Parameter names/shapes are identical to
+        the concat path, so checkpoints and the torch converter see one
+        tree."""
+        c1 = x.shape[-1]
+        eps = 1e-6
+
+        gs0, gb0 = _GNParams(in_ch, name="GroupNorm_0")()
+
+        # GroupNorm statistics over the virtual concat from per-channel
+        # partial sums (one cheap read per half; groups may cross the
+        # boundary). Fast-variance form matches flax nn.GroupNorm.
+        bsz, hh, ww, _ = x.shape
+        n = hh * ww * cg
+
+        def channel_sums(v):
+            vf = v.astype(jnp.float32)
+            return jnp.sum(vf, axis=(1, 2)), jnp.sum(vf * vf, axis=(1, 2))
+
+        s1, q1 = channel_sums(x)
+        s2, q2 = channel_sums(x2)
+        ssum = jnp.concatenate([s1, s2], axis=-1)  # [B, C]
+        ssq = jnp.concatenate([q1, q2], axis=-1)
+        gsum = jnp.sum(ssum.reshape(bsz, num_groups, cg), axis=-1)
+        gsq = jnp.sum(ssq.reshape(bsz, num_groups, cg), axis=-1)
+        mean_g = gsum / n
+        var_g = gsq / n - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = jnp.repeat(mean_g, cg, axis=-1)  # [B, C]
+        rstd_c = jnp.repeat(rstd_g, cg, axis=-1)
+        a_c = rstd_c * gs0.astype(jnp.float32)[None, :]
+        b_c = gb0.astype(jnp.float32)[None, :] - mean_c * a_c
+
+        def norm_act(v, a, b):
+            y = v.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
+            if self.dtype is not None:
+                y = y.astype(self.dtype)
+            return self.act(y)
+
+        h1 = norm_act(x, a_c[:, :c1], b_c[:, :c1])
+        h2 = norm_act(x2, a_c[:, c1:], b_c[:, c1:])
+
+        w0, b0 = _ConvParams(3, in_ch, out_ch, name="Conv_0")()
+        h = (_conv_nhwc(h1, w0[:, :, :c1, :], self.dtype)
+             + _conv_nhwc(h2, w0[:, :, c1:, :], self.dtype))
+        h = h + b0.astype(h.dtype)
+        if temb is not None:
+            h += nn.Dense(out_ch, kernel_init=default_init(),
+                          bias_init=nn.initializers.zeros, dtype=self.dtype,
+                          name="Dense_0")(self.act(temb))[:, None, None, :]
+        if semb is not None:
+            h += nn.Dense(out_ch, kernel_init=default_init(),
+                          bias_init=nn.initializers.zeros, dtype=self.dtype,
+                          name="Dense_1")(self.act(semb))[:, None, None, :]
+        h = self._gn_act(h, out_ch, "GroupNorm_1")
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                    dtype=self.dtype)(h)
+
+        if in_ch != out_ch:
+            w2, b2 = _ConvParams(1, in_ch, out_ch, name="Conv_2")()
+            xr = (_conv_nhwc(x, w2[:, :, :c1, :], self.dtype)
+                  + _conv_nhwc(x2, w2[:, :, c1:, :], self.dtype))
+            xr = xr + b2.astype(xr.dtype)
+        else:
+            xr = jnp.concatenate([x, x2], axis=-1)
+
+        if self.dtype is None:
+            h = h.astype(jnp.float32)
+            xr = xr.astype(jnp.float32)
+        if not self.skip_rescale:
+            return xr + h
+        return (xr + h) / math.sqrt(2.0)
 
 
 def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int,

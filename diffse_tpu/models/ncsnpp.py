@@ -162,10 +162,17 @@ class NCSNppBase(nn.Module):
         if not self.snr_conditioning:
             semb = None
 
-        def resblock(h_in, temb_, semb_, out_ch=None, up=False, down=False):
-            return self._resnet_block(act, out_ch=out_ch, up=up, down=down)(
-                h_in, temb_, semb_, train=train
-            )
+        def resblock(h_in, temb_, semb_, out_ch=None, up=False, down=False,
+                     x2=None):
+            block = self._resnet_block(act, out_ch=out_ch, up=up, down=down)
+            if self.resblock_type == "biggan":
+                # x2 is the up-path skip tensor: the BigGAN block consumes it
+                # as a virtual concat without materializing the concat buffer
+                # (models/layers.py::_call_split) — exact math, less HBM.
+                return block(h_in, temb_, semb_, train=train, x2=x2)
+            if x2 is not None:
+                h_in = jnp.concatenate([h_in, x2], axis=-1)
+            return block(h_in, temb_, semb_, train=train)
 
         # --- down path --------------------------------------------------------
         input_pyramid = None
@@ -227,9 +234,7 @@ class NCSNppBase(nn.Module):
         for i_level in reversed(range(num_resolutions)):
             for _i_block in range(self.num_res_blocks + 1):
                 out_ch = nf * self.ch_mult[i_level]
-                h = resblock(
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, semb, out_ch=out_ch
-                )
+                h = resblock(h, temb, semb, out_ch=out_ch, x2=hs.pop())
                 in_ch = out_ch
 
             if all_resolutions[i_level] in self.attn_resolutions:

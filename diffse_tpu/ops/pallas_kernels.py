@@ -100,8 +100,8 @@ def _groupnorm_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups, eps
     rstd_c = jnp.dot(
         jax.lax.rsqrt(var_g + eps), m_gc, preferred_element_type=jnp.float32
     )
-    a = rstd_c * scale_ref[...].astype(jnp.float32)[None, :]
-    b = bias_ref[...].astype(jnp.float32)[None, :] - mean_c * a
+    a = rstd_c * scale_ref[0].astype(jnp.float32)[None, :]
+    b = bias_ref[0].astype(jnp.float32)[None, :] - mean_c * a
 
     def apply_body(i, _):
         xb = x_ref[0, pl.ds(i * s_chunk, s_chunk), :].astype(jnp.float32)
@@ -145,8 +145,10 @@ def groupnorm_silu_pallas(
     assert c % num_groups == 0
     s = h * w
     x2 = x.reshape(b, s, c)
-    scale = scale.astype(jnp.float32)
-    bias = bias.astype(jnp.float32)
+    # 2-D [1, C] (not 1-D [C]): XLA tiles a bare f32[256] as T(256), which
+    # Mosaic's T(128) operand layout rejects.
+    scale = scale.astype(jnp.float32)[None, :]
+    bias = bias.astype(jnp.float32)[None, :]
 
     # Channel-tile the grid on group boundaries. Constraints: the lane
     # (last) block dim must be a multiple of 128 or the whole C (Mosaic
@@ -176,8 +178,8 @@ def groupnorm_silu_pallas(
             grid=(b, c // ct),
             in_specs=[
                 pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((ct,), lambda i, j: (j,)),
-                pl.BlockSpec((ct,), lambda i, j: (j,)),
+                pl.BlockSpec((1, ct), lambda i, j: (0, j)),
+                pl.BlockSpec((1, ct), lambda i, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((1, s, ct), lambda i, j: (i, 0, j)),
             out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
@@ -479,16 +481,24 @@ def groupnorm_silu_conv3x3_pallas(
             statistics/normalization always run in f32.
 
     Falls back to the equivalent jnp chain when the shape doesn't meet the
-    kernel's tiling constraints (lane dim multiple of 128, W multiple of 8)
-    or when Mosaic is unavailable.
+    kernel's tiling constraints (input lane dim multiple of 128, W multiple
+    of 8; the OUTPUT channel count is unconstrained — its block always
+    covers the full dim, so e.g. the 4-channel output pyramid conv is fine)
+    or when Mosaic is unavailable. On non-TPU backends the jnp reference
+    runs directly (interpret mode is for tests only — it is orders of
+    magnitude slower at real shapes).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     bsz, h, wdt, cin = x.shape
     cout = w.shape[-1]
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return _gn_silu_conv3x3_reference(
+                x, gn_scale, gn_bias, w, bias_total, skip, skip_coef,
+                num_groups, eps, compute_dtype,
+            )
+        interpret = False
     ok = (
         cin % 128 == 0
-        and cout % 128 == 0
         and wdt % 8 == 0
         and h >= 8
         and cin % num_groups == 0

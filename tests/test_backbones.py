@@ -190,8 +190,8 @@ def test_ncsnpp_bf16_trunk_matches_f32():
     seen = []
     orig = L.ResnetBlockBigGANpp.__call__
 
-    def spy(self, xx, temb=None, semb=None, train=False):
-        out = orig(self, xx, temb, semb, train=train)
+    def spy(self, xx, temb=None, semb=None, train=False, x2=None):
+        out = orig(self, xx, temb, semb, train=train, x2=x2)
         seen.append(out.dtype)
         return out
 
@@ -201,3 +201,82 @@ def test_ncsnpp_bf16_trunk_matches_f32():
     finally:
         L.ResnetBlockBigGANpp.__call__ = orig
     assert seen and all(d == jnp.bfloat16 for d in seen), seen
+
+
+def test_split_input_resblock_matches_concat():
+    """The up-path virtual-concat block (x, x2) must equal the same block on
+    jnp.concatenate([x, x2]) with identical params (group-aligned GroupNorm +
+    conv linearity make the split exact up to f32 reduction order)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models import layers
+
+    rng = np.random.default_rng(3)
+    act = layers.get_act("swish")
+    blk = layers.ResnetBlockBigGANpp(act=act, out_ch=16, dropout=0.0,
+                                     skip_rescale=True, init_scale=0.0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+
+    variables = blk.init(jax.random.PRNGKey(0), x, temb, x2=x2)
+    out_split = blk.apply(variables, x, temb, x2=x2)
+    out_concat = blk.apply(variables, jnp.concatenate([x, x2], axis=-1), temb)
+    assert out_split.shape == out_concat.shape
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_concat),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_split_input_resblock_param_tree_matches_concat():
+    """Both call styles must create the identical parameter tree (names,
+    shapes, values) — checkpoints don't know which path ran."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models import layers
+
+    rng = np.random.default_rng(4)
+    act = layers.get_act("swish")
+    blk = layers.ResnetBlockBigGANpp(act=act, out_ch=16, dropout=0.0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32))
+
+    v_split = blk.init(jax.random.PRNGKey(0), x, temb, x2=x2)
+    v_concat = blk.init(jax.random.PRNGKey(0),
+                        jnp.concatenate([x, x2], axis=-1), temb)
+    flat_s = jax.tree_util.tree_leaves_with_path(v_split)
+    flat_c = jax.tree_util.tree_leaves_with_path(v_concat)
+    assert [p for p, _ in flat_s] == [p for p, _ in flat_c]
+    for (_, a), (_, b) in zip(flat_s, flat_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_split_input_resblock_group_crossing_boundary():
+    """384-channel virtual concat (256 + 128): group width 12 crosses the
+    boundary — the partial-sum statistics path must still match the concat
+    path exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models import layers
+
+    rng = np.random.default_rng(5)
+    act = layers.get_act("swish")
+    # channels 24+12=36, groups=min(9,32)=9, cg=4: 24%4==0 BUT pick halves
+    # that break alignment: 22+14=36, cg=4 -> 22%4 != 0 (crossing groups)
+    blk = layers.ResnetBlockBigGANpp(act=act, out_ch=16, dropout=0.0,
+                                     skip_rescale=True)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 22)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 8, 8, 14)).astype(np.float32))
+    temb = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+
+    variables = blk.init(jax.random.PRNGKey(0), x, temb, x2=x2)
+    out_split = blk.apply(variables, x, temb, x2=x2)
+    out_concat = blk.apply(variables, jnp.concatenate([x, x2], axis=-1), temb)
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_concat),
+                               atol=1e-5, rtol=1e-5)

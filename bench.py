@@ -34,7 +34,9 @@ N_STEPS = 30
 REPEATS = 3
 
 STAGES = [
-    ("fused_b16_bf16", 1100),  # primary: half-precision trunk (HBM-bound win)
+    # primary: bf16 trunk + concat-free up path (pure XLA; every Pallas
+    # variant measured slower on the full model — DEVNOTES.md round 2)
+    ("fused_b16_bf16", 1400),
     ("fused_b16", 1100),
     ("fused_b4", 900),
     ("stepwise", 700),
@@ -63,7 +65,8 @@ def run_stage(stage: str):
     from diffse_tpu.sampling.predictors import ReverseDiffusionPredictor
     from diffse_tpu.transforms import pad_spec
 
-    batch = {"fused_b16_bf16": 16, "fused_b16": 16, "fused_b4": 4}.get(stage, 1)
+    batch = {"fused_b16_bf16_pyr": 16, "fused_b16_bf16": 16, "fused_b16": 16,
+             "fused_b4": 4}.get(stage, 1)
     extra = {}
 
     # Half-precision trunk: bf16 activations/matmuls through the U-Net with
@@ -71,9 +74,13 @@ def run_stage(stage: str):
     # `dtype`). Measured 0.4-0.6% output deviation from f32 at the production
     # config (tests/test_backbones.py::test_ncsnpp_bf16_trunk_matches_f32),
     # ~1.4x throughput on v5e (HBM-bandwidth-bound inference).
-    backbone_kwargs = {"dtype": "bf16"} if stage.endswith("_bf16") else {}
-    if stage.endswith("_bf16"):
+    backbone_kwargs = {}
+    if "_bf16" in stage:
+        backbone_kwargs["dtype"] = "bf16"
         extra["dtype"] = "bf16"
+    if stage.endswith("_pyr"):
+        backbone_kwargs["fuse_pyramid"] = True
+        extra["fuse_pyramid"] = True
 
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type="bbed", snr_conditioned="false",
@@ -132,15 +139,16 @@ def run_stage(stage: str):
         # Throughput (the headline utt/s metric): keep PIPES batches in
         # flight so host dispatch overlaps device compute — how a serving
         # loop actually drives the chip (batch_eval.py does the same).
-        PIPES, ROUNDS = 3, 6
+        PIPES, ROUNDS, WINDOWS = 4, 8, 2
         outs = [fn(y_wav, jax.random.PRNGKey(50 + i)) for i in range(PIPES)]
         jax.block_until_ready(outs)
-        t0 = time.time()
-        outs = [fn(y_wav, jax.random.PRNGKey(60 + i))
-                for i in range(PIPES * ROUNDS)]
-        jax.block_until_ready(outs)
-        wall_tp = (time.time() - t0) / (PIPES * ROUNDS)
-        wall = min(wall, wall_tp)
+        for wdw in range(WINDOWS):
+            t0 = time.time()
+            outs = [fn(y_wav, jax.random.PRNGKey(60 + 40 * wdw + i))
+                    for i in range(PIPES * ROUNDS)]
+            jax.block_until_ready(outs)
+            wall_tp = (time.time() - t0) / (PIPES * ROUNDS)
+            wall = min(wall, wall_tp)
         _emit(stage, batch, audio_len, wall, jax, extra)
 
         # Secondary A: end-to-end streaming enhancement of one realistic

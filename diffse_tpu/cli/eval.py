@@ -4,8 +4,9 @@ Loads a checkpoint (EMA weights), optionally reads the SNR oracle from
 `active_rms.txt` (eval.py:55-67), rescales the reverse starting point
 (sde.T = reverse_starting_point, N = T / delta_t, eval.py:105-113), enhances
 every wav under <test_dir>/noisy, writes enhanced wavs plus a per-file metric
-CSV and a mean ± std summary. PESQ requires the `pesq` package; SI-SDR and
-ESTOI are always scored natively.
+CSV and a mean ± std summary. PESQ, SI-SDR and ESTOI are all scored natively
+(evaluation/pesq_native.py implements ITU-T P.862.2; the `pesq` wheel is used
+instead when installed).
 """
 
 from __future__ import annotations
@@ -46,6 +47,11 @@ def main(argv=None):
                         help="Bucketed batch enhancement (>1 uses the in-training "
                              "harness branch semantics via batch_eval; per-utterance "
                              "normalization is preserved)")
+    parser.add_argument("--streaming_chunk_frames", type=int, default=0,
+                        help="If > 0 (multiple of 64), enhance via overlap-chunked "
+                             "streaming: ONE compiled width bucket serves every "
+                             "utterance length (evaluation/streaming.py)")
+    parser.add_argument("--streaming_overlap_frames", type=int, default=8)
     args = parser.parse_args(argv)
 
     import jax
@@ -128,6 +134,44 @@ def main(argv=None):
             data["pesq"].append(p)
             data["si_sdr"].append(si_sdr(x1, x_hat))
             data["estoi"].append(estoi(x1, x_hat, sr))
+        df = pd.DataFrame(data)
+        df.to_csv(join(target_dir, "_results.csv"), index=False)
+        with open(join(target_dir, "_avg_results.txt"), "w") as f:
+            f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
+            f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
+            f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+        return
+
+    if args.streaming_chunk_frames:
+        # Overlap-chunked streaming serving: every utterance is enhanced
+        # through the SAME compiled chunk program regardless of length.
+        from ..evaluation.streaming import enhance_streamed
+        from ..train.loop import eval_model_type
+
+        mt = eval_model_type(model.cfg.snr_conditioned, model.cfg.model_type)
+        for cnt, noisy_file in enumerate(noisy_files):
+            filename = os.path.basename(noisy_file)
+            x, _ = read_wav(join(clean_dir, filename))
+            y, _ = read_wav(noisy_file)
+            est_snr = 1.0
+            if mt.endswith("_snr"):
+                est_snr = float(model.estimate_snr(jnp.asarray(y))[0])
+            key, ekey = jax.random.split(key)
+            x_hat = enhance_streamed(
+                model, variables, y[0], mt, ekey,
+                chunk_frames=args.streaming_chunk_frames,
+                overlap_frames=args.streaming_overlap_frames,
+                x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
+            )
+            x1 = x[0][: len(x_hat)]
+            write_wav(join(target_dir, "all", filename), x_hat, sr)
+            p = pesq_wb(sr, x1, x_hat)
+            _pesq_sum += 0.0 if np.isnan(p) else p
+            data["filename"].append(filename)
+            data["pesq"].append(p)
+            data["si_sdr"].append(si_sdr(x1, x_hat))
+            data["estoi"].append(estoi(x1, x_hat, sr))
+            print(f" avg PESQ: {_pesq_sum / (cnt + 1):.3f}")
         df = pd.DataFrame(data)
         df.to_csv(join(target_dir, "_results.csv"), index=False)
         with open(join(target_dir, "_avg_results.txt"), "w") as f:

@@ -64,10 +64,17 @@ class NCSNppBase(nn.Module):
     dtype: Optional[str] = None
     # Fuse each resblock's GroupNorm+SiLU pair into the Pallas kernel
     # (ops/pallas_kernels.py). Only takes effect for the swish nonlinearity;
-    # param tree is unchanged. Default off: Mosaic compilation is unavailable
-    # over remote-compile TPU bridges (DEVNOTES.md) — validate on a native
-    # TPU toolchain before enabling in production.
+    # param tree is unchanged. Default off: measured SLOWER than XLA on the
+    # full model (the hand conv schedule loses to the XLA conv emitter,
+    # DEVNOTES.md round 2).
     use_pallas_groupnorm: bool = False
+    # Fuse the output-pyramid GroupNorm+SiLU+conv3x3(->4ch) heads into the
+    # Pallas kernel (skips materializing the full-width activated map; the
+    # 4-channel conv is too small for the emitter advantage to matter).
+    # Bit-exact vs the XLA chain; transparently falls back to the jnp
+    # reference off-TPU or on unsupported shapes. Param names match the
+    # unfused path exactly.
+    fuse_pyramid: bool = False
 
     @property
     def _compute_dtype(self):
@@ -230,6 +237,36 @@ class NCSNppBase(nn.Module):
         h = resblock(h, temb, semb)
 
         # --- up path --------------------------------------------------------------
+        # Pyramid heads get explicit module names equal to what flax's
+        # auto-naming assigned historically (GroupNorm_k / Conv_{k+1}; the
+        # stem conv is Conv_0) so the param tree is stable across the fused
+        # and unfused paths and the torch converter's mapping is unchanged.
+        pyr_counter = [0]
+
+        def pyramid_head(h_in):
+            k = pyr_counter[0]
+            pyr_counter[0] += 1
+            ch = h_in.shape[-1]
+            cdt_ = self._compute_dtype
+            gn_name, conv_name = f"GroupNorm_{k}", f"Conv_{k + 1}"
+            if self.fuse_pyramid and self.nonlinearity == "swish":
+                from ..ops.pallas_kernels import groupnorm_silu_conv3x3_pallas
+
+                gs, gb = layers._GNParams(ch, name=gn_name)()
+                w, bcv = layers._ConvParams(
+                    3, ch, num_channels, init_scale=self.init_scale,
+                    name=conv_name)()
+                bt = jnp.broadcast_to(
+                    bcv.astype(jnp.float32)[None, :],
+                    (h_in.shape[0], num_channels))
+                out = groupnorm_silu_conv3x3_pallas(
+                    h_in, gs, gb, w, bt, num_groups=min(ch // 4, 32),
+                    compute_dtype=cdt_)
+                return out.astype(jnp.float32)
+            p = act(layers.group_norm(ch, dtype=cdt_, name=gn_name)(h_in))
+            return conv3x3(num_channels, init_scale=self.init_scale,
+                           dtype=cdt_, name=conv_name)(p).astype(jnp.float32)
+
         pyramid = None
         for i_level in reversed(range(num_resolutions)):
             for _i_block in range(self.num_res_blocks + 1):
@@ -249,9 +286,7 @@ class NCSNppBase(nn.Module):
                 cdt = self._compute_dtype
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
-                        pyramid = act(layers.group_norm(h.shape[-1], dtype=cdt)(h))
-                        pyramid = conv3x3(num_channels, init_scale=self.init_scale,
-                                          dtype=cdt)(pyramid).astype(jnp.float32)
+                        pyramid = pyramid_head(h)
                     elif self.progressive == "residual":
                         pyramid = act(layers.group_norm(h.shape[-1], dtype=cdt)(h))
                         pyramid = conv3x3(in_ch, dtype=cdt)(pyramid).astype(jnp.float32)
@@ -260,9 +295,7 @@ class NCSNppBase(nn.Module):
                         pyramid = layers.Upsample(
                             fir=self.fir, fir_kernel=self.fir_kernel, with_conv=False
                         )(pyramid)
-                        pyramid_h = act(layers.group_norm(h.shape[-1], dtype=cdt)(h))
-                        pyramid_h = conv3x3(num_channels, init_scale=self.init_scale,
-                                            dtype=cdt)(pyramid_h).astype(jnp.float32)
+                        pyramid_h = pyramid_head(h)
                         pyramid = pyramid + pyramid_h
                     elif self.progressive == "residual":
                         pyramid = layers.Upsample(
@@ -313,6 +346,8 @@ def _add_size_args(parser):
     parser.add_argument("--backbone_dtype", dest="dtype", type=str, default=None,
                         choices=("float32", "bf16"))
     parser.add_argument("--pallas_groupnorm", dest="use_pallas_groupnorm",
+                        action="store_true", default=False)
+    parser.add_argument("--fuse_pyramid", dest="fuse_pyramid",
                         action="store_true", default=False)
     return parser
 

@@ -57,6 +57,7 @@ def get_pc_sampler(
     probability_flow: bool = False,
     intermediate: bool = False,
     timestep_type: Optional[str] = "linear",
+    unroll: int = 1,
     **ignored_kwargs,
 ):
     """Create a predictor-corrector sampler (sgmse/sampling/__init__.py:28-80).
@@ -123,7 +124,9 @@ def get_pc_sampler(
             return (x, x_mean, k, i + 1.0), ys
 
         init = (xt, xt, scan_key, jnp.asarray(0.0, dtype=jnp.float32))
-        (xt, xt_mean, _, _), traj = jax.lax.scan(body, init, None, length=n_steps)
+        (xt, xt_mean, _, _), traj = jax.lax.scan(
+            body, init, None, length=n_steps, unroll=unroll
+        )
         ns = n_steps * (corrector.n_steps + 1)
         if intermediate:
             return traj, ns

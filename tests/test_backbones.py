@@ -280,3 +280,31 @@ def test_split_input_resblock_group_crossing_boundary():
     out_concat = blk.apply(variables, jnp.concatenate([x, x2], axis=-1), temb)
     np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_concat),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fuse_pyramid_flag_parity():
+    """fuse_pyramid=True must leave the param tree unchanged (explicit names
+    match flax's historical auto-naming) and produce the same output (the
+    fused op is the same math; on CPU it runs the jnp reference)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+               image_size=16)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray((rng.standard_normal((1, 2, 16, 16))
+                     + 1j * rng.standard_normal((1, 2, 16, 16))).astype(np.complex64))
+    t = jnp.asarray([0.5], jnp.float32)
+
+    m0 = NCSNpp(**cfg)
+    m1 = NCSNpp(**cfg, fuse_pyramid=True)
+    v0 = m0.init(jax.random.PRNGKey(0), x, t)
+    v1 = m1.init(jax.random.PRNGKey(0), x, t)
+    p0 = [p for p, _ in jax.tree_util.tree_leaves_with_path(v0)]
+    p1 = [p for p, _ in jax.tree_util.tree_leaves_with_path(v1)]
+    assert p0 == p1, "fuse_pyramid must not change the param tree"
+
+    o0 = np.asarray(m0.apply(v0, x, t))
+    o1 = np.asarray(m1.apply(v0, x, t))
+    np.testing.assert_allclose(o1, o0, atol=1e-4, rtol=1e-4)

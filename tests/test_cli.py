@@ -143,3 +143,34 @@ def test_deep_eval_cli_smoke(dataset, tmp_path):
         assert f"si_sdr_{snr}" in df.columns
         assert np.isfinite(df[f"si_sdr_{snr}"]).all()
     assert os.path.exists(os.path.join(out_dir, "_avg_results_deep.txt"))
+
+
+@pytest.mark.slow
+def test_eval_cli_streaming(dataset, tmp_path):
+    """Overlap-chunked streaming serving path (--streaming_chunk_frames)."""
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "runs")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--no_mesh",
+        *TINY_ARGS,
+    ])
+    from diffse_tpu.cli.eval import main as eval_main
+
+    out_dir = str(tmp_path / "eval_streamed")
+    eval_main([
+        "--destination_folder", out_dir,
+        "--test_dir", os.path.join(dataset, "test"),
+        "--ckpt", ckpt_dir,
+        "--streaming_chunk_frames", "64",
+        "--streaming_overlap_frames", "8",
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["si_sdr"]).all()

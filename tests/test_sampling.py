@@ -277,3 +277,30 @@ def test_sampler_deterministic_given_key():
     c, _ = sampler(jax.random.PRNGKey(6))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_pc_sampler_unroll_matches():
+    """scan unroll must not change results (same per-step keys/math)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.sampling import get_pc_sampler
+    from diffse_tpu.sde import SDERegistry
+
+    sde = SDERegistry.get_by_name("bbed")(T_sampling=0.999, k=2.6, theta=0.52,
+                                          N=6)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray((rng.standard_normal((2, 1, 8, 8))
+                     + 1j * rng.standard_normal((2, 1, 8, 8))).astype(np.complex64))
+    score = lambda x, t, y_: -x / (1.0 + t[:, None, None, None])
+
+    s1 = get_pc_sampler("reverse_diffusion", "ald", sde=sde, score_fn=score,
+                        Y=y, denoise=True, eps=0.03, snr=0.5,
+                        corrector_steps=1, unroll=1)
+    s2 = get_pc_sampler("reverse_diffusion", "ald", sde=sde, score_fn=score,
+                        Y=y, denoise=True, eps=0.03, snr=0.5,
+                        corrector_steps=1, unroll=2)
+    a, _ = jax.jit(s1)(jax.random.PRNGKey(3))
+    b, _ = jax.jit(s2)(jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

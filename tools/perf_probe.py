@@ -30,6 +30,7 @@ def main():
 
     if extra_kwargs.pop("prng", None) == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
+    unroll = int(extra_kwargs.pop("unroll", 1))
 
     import jax.numpy as jnp
     import numpy as np
@@ -69,6 +70,7 @@ def main():
         sampler = get_pc_sampler(
             "reverse_diffusion", "ald", sde=model.sde, score_fn=score_fn, Y=Y,
             denoise=True, eps=cfg.t_eps, snr=0.5, corrector_steps=1,
+            unroll=unroll,
         )
         sample, _ = sampler(key)
         return model.to_audio(sample[:, 0]) * norm

@@ -139,7 +139,7 @@ def run_stage(stage: str):
         # Throughput (the headline utt/s metric): keep PIPES batches in
         # flight so host dispatch overlaps device compute — how a serving
         # loop actually drives the chip (batch_eval.py does the same).
-        PIPES, ROUNDS, WINDOWS = 4, 8, 2
+        PIPES, ROUNDS, WINDOWS = 5, 8, 3
         outs = [fn(y_wav, jax.random.PRNGKey(50 + i)) for i in range(PIPES)]
         jax.block_until_ready(outs)
         for wdw in range(WINDOWS):

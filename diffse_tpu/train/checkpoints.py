@@ -11,13 +11,28 @@ hyperparameters are persisted as JSON to enable load-with-overrides
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
+import weakref
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import orbax.checkpoint as ocp
+
+# Async writers must be joined before interpreter shutdown (a pending
+# serialization can't schedule threads once executors are torn down).
+_LIVE_MANAGERS: "weakref.WeakSet[CheckpointManager]" = weakref.WeakSet()
+
+
+@atexit.register
+def _drain_pending_checkpoints() -> None:
+    for mgr in list(_LIVE_MANAGERS):
+        try:
+            mgr.close()
+        except Exception:
+            pass
 
 
 class CheckpointManager:
@@ -32,12 +47,23 @@ class CheckpointManager:
         ),
         save_last: bool = True,
         hparams: Optional[dict] = None,
+        async_save: bool = True,
     ):
+        """With ``async_save`` (default), `save()` returns as soon as the
+        device arrays are snapshotted and serialization proceeds in a
+        background thread — the train loop keeps stepping while the ~260 MB
+        state writes out. `wait_until_finished()` (or the next save) joins
+        the pending write."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.monitors = list(monitors)
         self.save_last = save_last
-        self._ckptr = ocp.StandardCheckpointer()
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
+        self._closed = False
+        _LIVE_MANAGERS.add(self)
         self._meta_path = os.path.join(self.directory, "metadata.json")
         self._meta: Dict[str, dict] = {}
         if os.path.exists(self._meta_path):
@@ -58,14 +84,29 @@ class CheckpointManager:
     def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
         path = self._step_dir(step)
+        # Join any in-flight async write before touching the directory set
+        # (pruning below must not race a pending serialization).
+        self._ckptr.wait_until_finished()
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
+        self._ckptr.save(path, args=ocp.args.StandardSave(state))
         self._meta[str(step)] = metrics
         self._prune()
         with open(self._meta_path, "w") as f:
             json.dump(self._meta, f, indent=2)
+
+    def wait_until_finished(self) -> None:
+        """Block until any pending async checkpoint write has completed."""
+        if not self._closed:
+            self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        """Join pending writes and release the checkpointer's threads."""
+        if self._closed:
+            return
+        self._closed = True
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
 
     def _retained_steps(self) -> set:
         keep = set()
@@ -117,7 +158,10 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._ckptr.restore(self._step_dir(step), target=target)
+        self._ckptr.wait_until_finished()
+        return self._ckptr.restore(
+            self._step_dir(step), args=ocp.args.StandardRestore(target)
+        )
 
     def load_hparams(self) -> Optional[dict]:
         path = os.path.join(self.directory, "hparams.json")

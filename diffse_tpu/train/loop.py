@@ -171,6 +171,8 @@ def train_score_model(
             host_state = jax.tree_util.tree_map(np.asarray, state)
             ckpt_mgr.save(epoch, host_state, sanitized)
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
     return state
 
 
@@ -245,4 +247,6 @@ def train_snr_model(
             host_state = jax.tree_util.tree_map(np.asarray, state)
             ckpt_mgr.save(epoch, host_state, epoch_metrics)
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
     return state

@@ -19,6 +19,17 @@ from os.path import join
 import numpy as np
 
 
+def _write_results(pd, target_dir, data):
+    """Per-file CSV + mean ± std summary (eval.py:159-170)."""
+    from ..evaluation.metrics import print_mean_std
+
+    pd.DataFrame(data).to_csv(join(target_dir, "_results.csv"), index=False)
+    with open(join(target_dir, "_avg_results.txt"), "w") as f:
+        f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
+        f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
+        f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+
+
 def main(argv=None):
     parser = ArgumentParser(description=__doc__)
     parser.add_argument("--destination_folder", type=str, required=True)
@@ -134,12 +145,7 @@ def main(argv=None):
             data["pesq"].append(p)
             data["si_sdr"].append(si_sdr(x1, x_hat))
             data["estoi"].append(estoi(x1, x_hat, sr))
-        df = pd.DataFrame(data)
-        df.to_csv(join(target_dir, "_results.csv"), index=False)
-        with open(join(target_dir, "_avg_results.txt"), "w") as f:
-            f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
-            f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
-            f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+        _write_results(pd, target_dir, data)
         return
 
     if args.streaming_chunk_frames:
@@ -172,12 +178,7 @@ def main(argv=None):
             data["si_sdr"].append(si_sdr(x1, x_hat))
             data["estoi"].append(estoi(x1, x_hat, sr))
             print(f" avg PESQ: {_pesq_sum / (cnt + 1):.3f}")
-        df = pd.DataFrame(data)
-        df.to_csv(join(target_dir, "_results.csv"), index=False)
-        with open(join(target_dir, "_avg_results.txt"), "w") as f:
-            f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
-            f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
-            f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+        _write_results(pd, target_dir, data)
         return
 
     for cnt, noisy_file in enumerate(noisy_files):
@@ -211,12 +212,7 @@ def main(argv=None):
         print(f" avg PESQ: {_pesq_sum / (cnt + 1):.3f}  "
               f"(si_sdr {data['si_sdr'][-1]:.2f}, estoi {data['estoi'][-1]:.3f})")
 
-    df = pd.DataFrame(data)
-    df.to_csv(join(target_dir, "_results.csv"), index=False)
-    with open(join(target_dir, "_avg_results.txt"), "w") as f:
-        f.write("PESQ: {} \n".format(print_mean_std(data["pesq"])))
-        f.write("SI-SDR: {} \n".format(print_mean_std(data["si_sdr"])))
-        f.write("ESTOI: {} \n".format(print_mean_std(data["estoi"])))
+    _write_results(pd, target_dir, data)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,7 @@ class CheckpointManager:
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, args=ocp.args.StandardSave(state))
+        self._pending_step = step
         self._meta[str(step)] = metrics
         self._prune()
         with open(self._meta_path, "w") as f:
@@ -130,6 +131,11 @@ class CheckpointManager:
         keep = self._retained_steps()
         for s in self.all_steps():
             if s not in keep:
+                # The step just issued may still be serializing (async); join
+                # before deleting its directory (rare: only when the new step
+                # is immediately outranked and save_last is off).
+                if getattr(self, "_pending_step", None) == s:
+                    self._ckptr.wait_until_finished()
                 path = self._step_dir(s)
                 if os.path.exists(path):
                     shutil.rmtree(path)

@@ -210,3 +210,27 @@ def test_maybe_mesh_divisibility_guard():
     assert _maybe_mesh(True, 4) is None  # 4 % 8 devices != 0
     mesh = _maybe_mesh(True, 16)
     assert mesh is not None and len(mesh.devices.flat) == 8
+
+
+def test_checkpoint_async_save_and_close(tmp_path):
+    """Async saves must be joined by wait_until_finished/close (and close is
+    idempotent); a restore right after an async save must see the data."""
+    import numpy as np
+
+    model, opt, state = _model_and_state()
+    mgr = CheckpointManager(
+        str(tmp_path / "ackpts"),
+        monitors=[{"monitor": "pesq", "mode": "max", "top_k": 1}],
+        async_save=True,
+    )
+    host = jax.tree_util.tree_map(np.asarray, state)
+    mgr.save(0, host, {"pesq": 1.0})
+    restored = mgr.restore(host, step=0)  # joins the pending write internally
+    a = jax.tree_util.tree_leaves(host)[0]
+    b = jax.tree_util.tree_leaves(restored)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.save(1, host, {"pesq": 2.0})
+    mgr.wait_until_finished()
+    mgr.close()
+    mgr.close()  # idempotent
+    assert set(mgr.all_steps()) == {1} or set(mgr.all_steps()) == {0, 1}

@@ -31,6 +31,16 @@ def main():
     if extra_kwargs.pop("prng", None) == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
     unroll = int(extra_kwargs.pop("unroll", 1))
+    # copt:<flag>=<value> args become per-compile XLA compiler_options —
+    # the axon terminal forwards proto-backed xla_* flags per compile even
+    # though env XLA_FLAGS are rejected client-side.
+    compiler_options = {
+        k[len("copt:"):]: v for k, v in list(extra_kwargs.items())
+        if k.startswith("copt:")
+    }
+    for k in list(extra_kwargs):
+        if k.startswith("copt:"):
+            extra_kwargs.pop(k)
 
     import jax.numpy as jnp
     import numpy as np
@@ -78,6 +88,13 @@ def main():
     fn = jax.jit(enhance_batch)
     print(f"[probe b{batch} t{num_frames}] compiling...", file=sys.stderr, flush=True)
     t0 = time.time()
+    if compiler_options:
+        print(f"[probe] compiler_options: {compiler_options}", file=sys.stderr,
+              flush=True)
+        compiled = fn.lower(y_wav, jax.random.PRNGKey(1)).compile(
+            compiler_options=compiler_options
+        )
+        fn = lambda y, k: compiled(y, k)
     fn(y_wav, jax.random.PRNGKey(1)).block_until_ready()
     compile_s = time.time() - t0
 

@@ -49,6 +49,7 @@ def enhance_streamed(
     x_wav: Optional[np.ndarray] = None,
     est_snr: float = 1.0,
     fixed_snr: Optional[float] = None,
+    trim_frames: int = 0,
 ) -> np.ndarray:
     """Enhance one utterance of any length via overlapped fixed-width chunks.
 
@@ -59,12 +60,19 @@ def enhance_streamed(
         chunk_frames / overlap_frames: chunk geometry in STFT frames
             (chunk_frames must be a multiple of 64).
         x_wav: optional clean reference (only used by branches that need X).
+        trim_frames: discard this many frames from each interior chunk edge
+            before the overlap-add (they carry the least context and the
+            iSTFT window taper); requires ``overlap_frames > 2*trim_frames``
+            so trimmed chunks still overlap. Utterance edges are never
+            trimmed.
 
     Returns:
         enhanced waveform ``[T]`` (numpy).
     """
     assert chunk_frames % 64 == 0, "chunk_frames must be a multiple of 64"
     assert 0 <= overlap_frames < chunk_frames
+    assert trim_frames >= 0 and 2 * trim_frames < max(overlap_frames, 1) or \
+        trim_frames == 0, "need overlap_frames > 2*trim_frames"
     hop = model.cfg.hop_length
     y_wav = np.asarray(y_wav).reshape(-1)
     x_wav = y_wav if x_wav is None else np.asarray(x_wav).reshape(-1)
@@ -73,6 +81,7 @@ def enhance_streamed(
     chunk_len = (chunk_frames - 1) * hop
     hop_len = (chunk_frames - overlap_frames - 1) * hop
     overlap_len = chunk_len - hop_len
+    trim_len = trim_frames * hop
 
     # chunk start offsets covering the signal
     starts = list(range(0, max(t_orig - overlap_len, 1), hop_len))
@@ -91,7 +100,7 @@ def enhance_streamed(
         fn(variables, jnp.asarray(xb), jnp.asarray(yb), key, est)
     )
 
-    # overlap-add with linear cross-fades
+    # overlap-add with linear cross-fades over the kept (untrimmed) regions
     total = starts[-1] + chunk_len
     acc = np.zeros(total, dtype=np.float64)
     wsum = np.zeros(total, dtype=np.float64)
@@ -104,9 +113,13 @@ def enhance_streamed(
             pos = "last"
         else:
             pos = "mid"
-        w = _crossfade_weights(chunk_len, overlap_len, pos)
-        acc[s : s + chunk_len] += out_chunks[i] * w
-        wsum[s : s + chunk_len] += w
+        lo = trim_len if pos in ("mid", "last") else 0
+        hi = chunk_len - (trim_len if pos in ("first", "mid") else 0)
+        kept = hi - lo
+        ov = overlap_len - 2 * trim_len if trim_len else overlap_len
+        w = _crossfade_weights(kept, ov, pos)
+        acc[s + lo : s + hi] += out_chunks[i][lo:hi] * w
+        wsum[s + lo : s + hi] += w
     wsum = np.where(wsum > 1e-8, wsum, 1.0)
     out = (acc / wsum).astype(np.float32)
     return out[:t_orig]

@@ -126,3 +126,63 @@ def test_streaming_vs_full_context_quality():
     # streamed/full-context agreement above 5 dB SI-SDR.
     assert agreements[16] > 5.0, agreements
     assert agreements[32] > 8.0, agreements
+
+
+def test_ola_reconstruction_with_trim(rng, monkeypatch):
+    """Identity enhancement + edge-trimming must still reconstruct exactly
+    (the kept regions overlap and cross-fades stay complementary)."""
+    model, variables = _model()
+
+    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None):
+        def fn(variables_, xb, yb, key, est):
+            return yb
+        return fn
+
+    monkeypatch.setattr(streaming, "_eval_fn", fake_eval_fn)
+    y = rng.standard_normal(30000).astype(np.float32) * 0.1
+    out = enhance_streamed(model, variables, y, "sebridge_v2",
+                           jax.random.PRNGKey(0), chunk_frames=64,
+                           overlap_frames=16, trim_frames=4)
+    assert out.shape == y.shape
+    np.testing.assert_allclose(out, y, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_streaming_trim_improves_agreement():
+    """Discarding chunk-edge frames (least context + iSTFT taper) before the
+    overlap-add must not hurt streamed/full-context agreement, and typically
+    improves it (measured on the adversarial randomly-perturbed net)."""
+    from diffse_tpu.evaluation.inference import _eval_fn
+    from diffse_tpu.evaluation.metrics import si_sdr
+
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", model_type="sebridge",
+                           snr_conditioned="false", sigma_max=1.0, num_frames=64)
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    rng = np.random.default_rng(7)
+    t = np.arange(32000) / 16000.0
+    clean = np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 1.7 * t) ** 2)
+    y = (clean + 0.3 * rng.standard_normal(len(t))).astype(np.float32) * 0.1
+
+    frames = 1 + len(y) // model.cfg.hop_length
+    t_pad = frames + (64 - frames % 64) % 64
+    full_fn = _eval_fn(model, "sebridge", t_pad)
+    yb = jnp.asarray(y)[None]
+    full = np.asarray(full_fn(variables, yb, yb, jax.random.PRNGKey(1),
+                              jnp.asarray([1.0])))[0, : len(y)]
+
+    base = float(si_sdr(full, enhance_streamed(
+        model, variables, y, "sebridge", jax.random.PRNGKey(1),
+        chunk_frames=64, overlap_frames=16, trim_frames=0)))
+    trimmed = float(si_sdr(full, enhance_streamed(
+        model, variables, y, "sebridge", jax.random.PRNGKey(1),
+        chunk_frames=64, overlap_frames=16, trim_frames=4)))
+    print(f"agreement no-trim {base:.2f} dB, trim4 {trimmed:.2f} dB")
+    assert trimmed > base - 0.5, (base, trimmed)

@@ -63,6 +63,10 @@ def main(argv=None):
                              "streaming: ONE compiled width bucket serves every "
                              "utterance length (evaluation/streaming.py)")
     parser.add_argument("--streaming_overlap_frames", type=int, default=8)
+    parser.add_argument("--streaming_trim_frames", type=int, default=0,
+                        help="Discard this many frames per interior chunk edge "
+                             "before the overlap-add (boundary-quality knob; "
+                             "needs overlap > 2*trim)")
     args = parser.parse_args(argv)
 
     import jax
@@ -167,6 +171,7 @@ def main(argv=None):
                 model, variables, y[0], mt, ekey,
                 chunk_frames=args.streaming_chunk_frames,
                 overlap_frames=args.streaming_overlap_frames,
+                trim_frames=args.streaming_trim_frames,
                 x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
             )
             x1 = x[0][: len(x_hat)]

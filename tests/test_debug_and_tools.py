@@ -1,0 +1,95 @@
+"""Tests for the debug harness (evaluation/debug.py) and the dataset
+preparation tool (tools/single_snrize.py)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+
+TINY = dict(nf=4, ch_mult=(1, 1, 1, 1, 1), num_res_blocks=1,
+            attn_resolutions=(16,), image_size=256)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", model_type="bbed",
+                           snr_conditioned="false", sigma_max=0.5,
+                           num_frames=64)
+    model = ScoreModel(cfg, backbone_kwargs=TINY,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52,
+                                       N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    return model, variables
+
+
+def test_get_prior_pieces_consistent(tiny_model):
+    """get_prior returns the reconstruction identities of model.py:959-1011:
+    x_T = noisy + z*std(T) and mean_pred = x_T + score*std^2."""
+    from diffse_tpu.evaluation.debug import get_prior
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(4000).astype(np.float32)[None] * 0.1
+    x = 0.7 * y
+    d = get_prior(model, variables, y, x, key=jax.random.PRNGKey(1), T=0.9)
+    for k in ("mean_pred", "clean", "noisy", "residual", "z", "score", "x_T"):
+        assert np.all(np.isfinite(d[k].real)), k
+    # x_T - noisy = z * std  =>  (x_T - noisy) and z are colinear
+    num = np.vdot(d["z"], d["x_T"] - d["noisy"])
+    den = np.linalg.norm(d["z"]) * np.linalg.norm(d["x_T"] - d["noisy"])
+    assert abs(abs(num) / (den + 1e-12) - 1.0) < 1e-3
+
+
+def test_prior_panel_writes_png(tiny_model, tmp_path):
+    pytest.importorskip("matplotlib")
+    from diffse_tpu.evaluation.debug import prior_panel
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(4000).astype(np.float32)[None] * 0.1
+    out = prior_panel(model, variables, y, 0.5 * y,
+                      out_path=str(tmp_path / "panel.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_single_snrize_tool(tmp_path):
+    """The remix tool must hit the target active SNR and write the directory
+    contract (clean/ noisy/ noise/ + active_rms.txt)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import single_snrize
+
+    from diffse_tpu.data.wavio import read_wav, write_wav
+    from diffse_tpu.evaluation.metrics import active_rms
+
+    rng = np.random.default_rng(2)
+    in_dir = tmp_path / "in"
+    for sub in ("clean", "noisy"):
+        os.makedirs(in_dir / sub)
+    sr = 16000
+    t = np.arange(8000) / sr
+    for i in range(2):
+        clean = (0.3 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32)
+        noise = (0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        write_wav(str(in_dir / "clean" / f"u{i}.wav"), clean, sr)
+        write_wav(str(in_dir / "noisy" / f"u{i}.wav"), clean + noise, sr)
+
+    out_dir = tmp_path / "out"
+    single_snrize.main(["--in_dir", str(in_dir), "--out_dir", str(out_dir),
+                        "--target_snr", "-5"])
+
+    assert os.path.exists(out_dir / "active_rms.txt")
+    lines = open(out_dir / "active_rms.txt").read().strip().splitlines()
+    assert len(lines) == 2
+    for i in range(2):
+        c, _ = read_wav(str(out_dir / "clean" / f"u{i}.wav"))
+        n, _ = read_wav(str(out_dir / "noise" / f"u{i}.wav"))
+        y, _ = read_wav(str(out_dir / "noisy" / f"u{i}.wav"))
+        np.testing.assert_allclose(y[0], c[0] + n[0], atol=2e-4)
+        c_rms, n_rms = active_rms(c[0], n[0])
+        snr = 20 * np.log10(c_rms / n_rms)
+        assert abs(snr - (-5.0)) < 0.3, snr

@@ -30,7 +30,12 @@ def _speech_like(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
     )
     sos = scipy.signal.butter(4, [120 / (sr / 2), 3800 / (sr / 2)], "bp", output="sos")
     noise = scipy.signal.sosfilt(sos, rng.standard_normal(n))
-    env = 0.4 + 0.6 * np.clip(np.sin(2 * np.pi * rng.uniform(1.5, 4.0) * t), 0, None)
+    # Burst envelope with true pauses: half-wave bursts over a ~-34 dB floor.
+    # Real speech pauses are >= 25 dB down and utterances last >= 0.3 s —
+    # P.862 marks a constant-envelope signal as all-noise and drops speech
+    # spans shorter than MINUTTLENGTH (~0.2 s), exactly like the ITU tool,
+    # so fixtures must pause AND sustain each burst.
+    env = 0.02 + 0.98 * np.clip(np.sin(2 * np.pi * rng.uniform(0.8, 1.4) * t), 0, None)
     x = env * (0.6 * harm / 5 + 0.4 * noise)
     return (0.3 * x / np.max(np.abs(x))).astype(np.float32)
 

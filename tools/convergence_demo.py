@@ -26,9 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--epochs", type=int, default=6)
+    parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--steps_per_epoch", type=int, default=40)
-    parser.add_argument("--num_train", type=int, default=24)
+    parser.add_argument("--num_train", type=int, default=48)
     parser.add_argument("--work_dir", type=str, default=None)
     args = parser.parse_args(argv)
 
@@ -58,11 +58,11 @@ def main(argv=None):
                            num_valid2=4, num_test=4, duration_s=1.2)
 
     cfg = ScoreModelConfig(
-        backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
-        snr_conditioned="false", sigma_max=1.0, num_frames=64,
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5, num_frames=64,
         num_eval_files=0,
     )
-    backbone = dict(nf=32, ch_mult=(1, 1, 2), num_res_blocks=1,
+    backbone = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1,
                     attn_resolutions=(64,), image_size=256)
     model = ScoreModel(
         cfg, backbone_kwargs=backbone,
@@ -75,7 +75,7 @@ def main(argv=None):
 
     def quality(variables):
         return evaluate_model(model, variables, dm, num_eval_files=4,
-                              model_type="sebridge_v2", key=jax.random.PRNGKey(9))
+                              model_type="bbed", key=jax.random.PRNGKey(9))
 
     def mixture_quality():
         dm.setup("fit")
@@ -110,7 +110,7 @@ def main(argv=None):
     dt = time.time() - t0
     print(f"[demo] trained (EMA): pesq {q1[0]:.3f}  si_sdr {q1[1]:+.2f} dB  "
           f"estoi {q1[2]:.3f}   "
-          f"[{args.epochs * args.steps_per_epoch} steps, {dt/60:.1f} min]")
+          f"[{int(state.step)} steps, {dt/60:.1f} min]")
     improved = q1[1] > q0[1]
     print(f"[demo] SI-SDR improvement over untrained: "
           f"{q1[1] - q0[1]:+.2f} dB ({'OK' if improved else 'NO IMPROVEMENT'})")

@@ -89,3 +89,22 @@ def test_enhance_ode_sampler(rng):
     x_hat = model.enhance(variables, jnp.asarray(x)[None], jnp.asarray(y)[None],
                           key=jax.random.PRNGKey(3), sampler_type="ode", N=30)
     assert x_hat.shape == x.shape and np.all(np.isfinite(x_hat))
+
+
+@pytest.mark.slow
+def test_eval_enhance_file_length_variation_reuses_one_compile():
+    """Different utterance lengths in one 64-frame bucket must share a single
+    compiled eval program (host zero-pad to the bucket's sample count)."""
+    from diffse_tpu.evaluation import inference as inf
+
+    model, variables = _model("false", "sebridge_v2")
+    rng = np.random.default_rng(0)
+    inf._jit_cache.clear()
+    for n in (2048, 5000):
+        y = rng.standard_normal(n).astype(np.float32) * 0.1
+        out = inf.eval_enhance_file(model, variables, y, y, "sebridge_v2",
+                                    jax.random.PRNGKey(1))
+        assert out.shape == (n,)
+    assert len(inf._jit_cache) == 1
+    jitted = next(iter(inf._jit_cache.values()))
+    assert jitted._cache_size() == 1, jitted._cache_size()

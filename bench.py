@@ -35,7 +35,10 @@ REPEATS = 3
 
 STAGES = [
     # primary: bf16 trunk + concat-free up path (pure XLA; every Pallas
-    # variant measured slower on the full model — DEVNOTES.md round 2)
+    # variant measured slower on the full model — DEVNOTES.md round 2).
+    # The bridge's remote compiles flake occasionally, so retry the primary
+    # once before degrading to the (much slower) f32 stage.
+    ("fused_b16_bf16", 1400),
     ("fused_b16_bf16", 1400),
     ("fused_b16", 1100),
     ("fused_b4", 900),

@@ -96,6 +96,12 @@ def batch_enhance(
             est = np.ones((len(idxs),), dtype=np.float32)
         return xb, yb, est
 
+    def fit_length(w: np.ndarray, n: int) -> np.ndarray:
+        """Trim/zero-pad a row to exactly n samples (a frames%64==0 bucket
+        yields up to hop-1 fewer samples than the original utterance)."""
+        w = w[:n]
+        return np.pad(w, (0, n - w.shape[-1])) if w.shape[-1] < n else w
+
     def dispatch(bi, t_pad, idxs, prepped):
         """Enqueue the device program asynchronously (JAX dispatch does not
         block); returns the in-flight device array."""
@@ -118,12 +124,12 @@ def batch_enhance(
             p_idxs, p_arr = pending
             x_hat = np.asarray(p_arr)  # blocks on the PREVIOUS bucket only
             for row, idx in enumerate(p_idxs):
-                out[idx] = x_hat[row, : lengths[idx]]
+                out[idx] = fit_length(x_hat[row], lengths[idx])
         pending = (idxs, inflight)
     if pending is not None:
         p_idxs, p_arr = pending
         x_hat = np.asarray(p_arr)
         for row, idx in enumerate(p_idxs):
-            out[idx] = x_hat[row, : lengths[idx]]
+            out[idx] = fit_length(x_hat[row], lengths[idx])
 
     return out  # type: ignore[return-value]

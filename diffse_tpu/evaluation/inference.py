@@ -152,7 +152,14 @@ def eval_enhance_file(
         key,
         jnp.asarray(est_snr, dtype=jnp.float32),
     )
-    return np.asarray(x_hat)[0, :t_orig]
+    x_hat = np.asarray(x_hat)[0, :t_orig]
+    if x_hat.shape[-1] < t_orig:
+        # frames % 64 == 0 bucket loses up to hop-1 tail samples in the
+        # iSTFT; zero-pad back to the input length so si_sdr/PESQ against the
+        # full-length clean never shape-mismatches (torch istft(length=T)
+        # zero-pads identically, sgmse/model.py:612-625).
+        x_hat = np.pad(x_hat, (0, t_orig - x_hat.shape[-1]))
+    return x_hat
 
 
 def evaluate_model(

@@ -31,9 +31,9 @@ def _crossfade_weights(chunk_len: int, overlap: int, position: str) -> np.ndarra
         # half-sample-offset ramp: head ramp + the next chunk's tail ramp sum
         # to exactly 1 across the overlap
         ramp = ((np.arange(overlap) + 0.5) / overlap).astype(np.float32)
-        if position not in ("first",):
+        if position not in ("first", "only"):
             w[:overlap] = ramp
-        if position not in ("last",):
+        if position not in ("last", "only"):
             w[-overlap:] = ramp[::-1]
     return w
 
@@ -106,7 +106,10 @@ def enhance_streamed(
     wsum = np.zeros(total, dtype=np.float64)
     for i, s in enumerate(starts):
         if len(starts) == 1:
-            pos = "first"
+            # A lone chunk is both first AND last: no interior edges exist,
+            # so nothing may be trimmed (else the utterance tail would land
+            # in a wsum=0 region and be emitted as silence).
+            pos = "only"
         elif i == 0:
             pos = "first"
         elif i == len(starts) - 1:

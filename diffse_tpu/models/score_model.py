@@ -676,6 +676,12 @@ class ScoreModel:
             variables, x, y, key, est_snr, jnp.asarray(snr, dtype=jnp.float32)
         )
         x_hat = np.asarray(x_hat)[0, :t_orig]
+        if x_hat.shape[-1] < t_orig:
+            # frames % 64 == 0 bucket: the iSTFT yields (t_pad-1)*hop samples,
+            # up to hop-1 short of t_orig. Zero-pad back so callers can align
+            # against the full-length clean reference (the torch reference's
+            # istft(length=T) zero-pads the same tail, sgmse/model.py:612-625).
+            x_hat = np.pad(x_hat, (0, t_orig - x_hat.shape[-1]))
         end = time.time()
         if timeit:
             rtf = (end - start) / (len(x_hat) / sr)

@@ -69,6 +69,17 @@ class CheckpointManager:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self._meta = json.load(f)
+            # metadata.json is written as soon as an async save is dispatched;
+            # if the process died mid-serialization the entry references a
+            # step whose directory was never committed (orbax renames the tmp
+            # dir only on commit). Drop such entries so latest_step()/restore()
+            # fall back to the newest intact checkpoint.
+            stale = [
+                k for k in self._meta
+                if not os.path.isdir(self._step_dir(int(k)))
+            ]
+            for k in stale:
+                del self._meta[k]
         if hparams is not None:
             with open(os.path.join(self.directory, "hparams.json"), "w") as f:
                 json.dump(hparams, f, indent=2, default=str)
@@ -160,11 +171,11 @@ class CheckpointManager:
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
         """Restore a checkpoint into the structure of `target` (an abstract or
         concrete pytree of the same shape)."""
+        self._ckptr.wait_until_finished()
         if step is None:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        self._ckptr.wait_until_finished()
         return self._ckptr.restore(
             self._step_dir(step), args=ocp.args.StandardRestore(target)
         )

@@ -35,16 +35,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def hann_window(window_length: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Periodic Hann window, equal to ``torch.hann_window(L, periodic=True)``."""
+def hann_window(window_length: int, dtype=jnp.float32) -> np.ndarray:
+    """Periodic Hann window, equal to ``torch.hann_window(L, periodic=True)``.
+
+    Returned as a HOST numpy array: windows are jit constants, and building
+    them must not touch a device (a broken ambient TPU client would raise on
+    the eager transfer — see __graft_entry__'s hardening contract).
+    """
     n = np.arange(window_length)
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / window_length)
-    return jnp.asarray(w, dtype=dtype)
+    return np.asarray(w, dtype=dtype)
 
 
-def sqrthann_window(window_length: int, dtype=jnp.float32) -> jnp.ndarray:
+def sqrthann_window(window_length: int, dtype=jnp.float32) -> np.ndarray:
     """Square-root periodic Hann window (reference: sgmse/data_module.py:13-19)."""
-    return jnp.sqrt(hann_window(window_length, dtype=dtype))
+    return np.sqrt(hann_window(window_length, dtype=dtype))
 
 
 def get_window(window_type: str, window_length: int, dtype=jnp.float32) -> jnp.ndarray:

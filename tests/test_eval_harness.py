@@ -91,6 +91,27 @@ def test_enhance_ode_sampler(rng):
     assert x_hat.shape == x.shape and np.all(np.isfinite(x_hat))
 
 
+def test_enhance_full_length_on_exact_bucket_boundary(rng):
+    """When frames % 64 == 0 and t_orig % hop != 0, the iSTFT can only yield
+    (t_pad-1)*hop samples; enhance()/eval_enhance_file must zero-pad the tail
+    back to t_orig so si_sdr against the full-length clean never
+    shape-mismatches (regression for the codified hop-1 truncation)."""
+    model, variables = _model("false", "sebridge_v2")
+    hop = model.cfg.hop_length
+    # frames = 1 + t_orig//hop = 64 (a multiple of 64), t_orig % hop != 0
+    t_orig = 63 * hop + 37
+    x, y = _wavs(rng, n=t_orig)
+    x_hat = eval_enhance_file(model, variables, x, y, "sebridge_v2",
+                              jax.random.PRNGKey(1))
+    assert x_hat.shape == (t_orig,)
+    assert np.all(np.isfinite(x_hat))
+    x_hat2 = model.enhance(variables, x[None], y[None], key=jax.random.PRNGKey(2))
+    assert x_hat2.shape == (t_orig,)
+    # full-length alignment means the downstream metric just works
+    from diffse_tpu.evaluation.metrics import si_sdr
+    assert np.isfinite(float(si_sdr(x, x_hat)))
+
+
 @pytest.mark.slow
 def test_eval_enhance_file_length_variation_reuses_one_compile():
     """Different utterance lengths in one 64-frame bucket must share a single

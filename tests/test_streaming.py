@@ -52,6 +52,30 @@ def test_ola_reconstruction_with_identity_enhancement(rng, monkeypatch):
     np.testing.assert_allclose(out, y, atol=1e-5)
 
 
+def test_lone_chunk_with_trim_keeps_tail(rng, monkeypatch):
+    """A single-chunk utterance with trim_frames > 0 must not trim its own
+    tail edge (regression: pos='first' used to trim the utterance tail into a
+    wsum=0 region, emitting silence)."""
+    model, variables = _model()
+
+    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None):
+        def fn(variables_, xb, yb, key, est):
+            return yb
+        return fn
+
+    monkeypatch.setattr(streaming, "_eval_fn", fake_eval_fn)
+    hop = model.cfg.hop_length
+    chunk_len = (64 - 1) * hop
+    # exactly one chunk long, with a loud tail that must survive
+    y = rng.standard_normal(chunk_len).astype(np.float32) * 0.1
+    y[-6 * hop:] = 0.5
+    out = enhance_streamed(model, variables, y, "sebridge_v2",
+                           jax.random.PRNGKey(3), chunk_frames=64,
+                           overlap_frames=16, trim_frames=4)
+    assert out.shape == y.shape
+    np.testing.assert_allclose(out, y, atol=1e-5)
+
+
 def test_streamed_enhancement_real_model(rng):
     model, variables = _model()
     y = rng.standard_normal(25000).astype(np.float32) * 0.1

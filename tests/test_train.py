@@ -174,6 +174,35 @@ def test_checkpoint_min_mode(tmp_path):
     assert mgr.best_step("snr_error", mode="min") == 1
 
 
+def test_checkpoint_recovers_from_uncommitted_step(tmp_path):
+    """If the process died after metadata.json was written but before the
+    async orbax write committed its directory, a fresh manager must fall back
+    to the newest INTACT step instead of failing on the phantom one."""
+    import json
+
+    model, opt, state = _model_and_state()
+    d = str(tmp_path / "c3")
+    mgr = CheckpointManager(d, monitors=[{"monitor": "pesq", "mode": "max", "top_k": 5}])
+    host = jax.tree_util.tree_map(np.asarray, state)
+    mgr.save(0, host, {"pesq": 1.0})
+    mgr.save(1, host, {"pesq": 2.0})
+    mgr.close()
+    # simulate the crash: metadata names step 2 but its dir never committed
+    meta_path = tmp_path / "c3" / "metadata.json"
+    meta = json.loads(meta_path.read_text())
+    meta["2"] = {"pesq": 9.9}
+    meta_path.write_text(json.dumps(meta))
+
+    mgr2 = CheckpointManager(d, monitors=[{"monitor": "pesq", "mode": "max", "top_k": 5}])
+    assert mgr2.latest_step() == 1
+    assert mgr2.best_step("pesq") == 1  # phantom 9.9 entry dropped
+    restored = mgr2.restore(host)  # step=None -> newest intact
+    a = jax.tree_util.tree_leaves(host)[0]
+    b = jax.tree_util.tree_leaves(restored)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr2.close()
+
+
 def test_profiling_stage_timer():
     from diffse_tpu.train.profiling import StageTimer, rtf
 

@@ -66,7 +66,13 @@ def main(argv=None):
     parser.add_argument("--streaming_trim_frames", type=int, default=0,
                         help="Discard this many frames per interior chunk edge "
                              "before the overlap-add (boundary-quality knob; "
-                             "needs overlap > 2*trim)")
+                             "needs overlap > 2*trim; wav mode only)")
+    parser.add_argument("--streaming_mode", type=str, default="spec",
+                        choices=("spec", "wav"),
+                        help="'spec' (default): one on-device STFT per "
+                             "utterance, overlapped frame chunks with real "
+                             "boundary context, device-side crossfade OLA + "
+                             "single iSTFT. 'wav': per-chunk waveform path")
     args = parser.parse_args(argv)
 
     import jax
@@ -155,7 +161,7 @@ def main(argv=None):
     if args.streaming_chunk_frames:
         # Overlap-chunked streaming serving: every utterance is enhanced
         # through the SAME compiled chunk program regardless of length.
-        from ..evaluation.streaming import enhance_streamed
+        from ..evaluation.streaming import enhance_streamed, enhance_streamed_spec
         from ..train.loop import eval_model_type
 
         mt = eval_model_type(model.cfg.snr_conditioned, model.cfg.model_type)
@@ -167,13 +173,21 @@ def main(argv=None):
             if mt.endswith("_snr"):
                 est_snr = float(model.estimate_snr(jnp.asarray(y))[0])
             key, ekey = jax.random.split(key)
-            x_hat = enhance_streamed(
-                model, variables, y[0], mt, ekey,
-                chunk_frames=args.streaming_chunk_frames,
-                overlap_frames=args.streaming_overlap_frames,
-                trim_frames=args.streaming_trim_frames,
-                x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
-            )
+            if args.streaming_mode == "spec":
+                x_hat = enhance_streamed_spec(
+                    model, variables, y[0], mt, ekey,
+                    chunk_frames=args.streaming_chunk_frames,
+                    overlap_frames=args.streaming_overlap_frames,
+                    x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
+                )
+            else:
+                x_hat = enhance_streamed(
+                    model, variables, y[0], mt, ekey,
+                    chunk_frames=args.streaming_chunk_frames,
+                    overlap_frames=args.streaming_overlap_frames,
+                    trim_frames=args.streaming_trim_frames,
+                    x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
+                )
             x1 = x[0][: len(x_hat)]
             write_wav(join(target_dir, "all", filename), x_hat, sr)
             p = pesq_wb(sr, x1, x_hat)

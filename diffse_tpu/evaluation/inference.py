@@ -40,6 +40,59 @@ CORRECTOR_STEPS = 1
 _jit_cache: dict = {}
 
 
+def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
+                est_snr, fixed_snr: float):
+    """Branch-specific enhanced-sample computation on COMPRESSED spectrograms
+    (the shared core of inference.py:152-312): X/Y are ``[B, 1, F, T]``
+    complex, ``est_snr`` is ``[B]``. Returns the enhanced compressed spec
+    ``[B, 1, F, T]``. Pure/traceable — used by the eval harness and by the
+    spec-domain streaming path (evaluation/streaming.py)."""
+    cfg = model.cfg
+    if branch == "bbed":
+        score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
+        sde = model.sde.replace(N=N_STEPS)
+        sampler = get_pc_sampler(
+            "reverse_diffusion", "ald", sde=sde, score_fn=score_fn, Y=Y,
+            denoise=True, eps=cfg.t_eps, snr=SNR_ALD,
+            corrector_steps=CORRECTOR_STEPS,
+        )
+        sample, _ = sampler(key)
+    elif branch == "sebridge":
+        vec_t = jnp.full((Y.shape[0],), 0.999)
+        sample, _ = model.forward(variables, Y, vec_t, Y)
+    elif branch == "sebridge_v2":
+        vec_t = jnp.full((Y.shape[0],), 1.0)
+        Z = randn_like(key, Y) * cfg.sigma_max * 1.0
+        sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+    elif branch == "sebridge_v2_fixed":
+        vec_t = jnp.full((Y.shape[0],), 0.999)
+        noise_size = noise_mag(X, Y, mode="max")
+        Y = X + (Y - X) / noise_size * fixed_snr
+        Z = randn_like(key, Y) * cfg.sigma_max * 0.999
+        sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+    elif branch == "sebridge_v3_fixed":
+        vec_t = jnp.full((Y.shape[0],), 1.0)
+        Z = randn_like(key, Y) * cfg.sigma_max
+        sample, _ = model.forward(variables, Y + Z, vec_t, Y)
+    elif branch == "sebridge_v2_snr":
+        # NOTE: the reference's path calls calculate_snr_direct with two
+        # args and crashes (inference.py:273, SURVEY.md §3.6); implemented
+        # here with the intended fixed_snr argument.
+        t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)  # [B]
+        Z = randn_like(key, Y) * cfg.sigma_max * t_val[:, None, None, None].astype(Y.dtype)
+        sample, _ = model.forward(variables, Y + Z, t_val, Y)
+    elif branch == "sebridge_v3_snr":
+        t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)  # [B]
+        grid = jnp.asarray(t_30, dtype=jnp.float32)
+        idx = jnp.argmin(jnp.abs(grid[None, :] - t_val[:, None]), axis=1)
+        t_val = grid[idx]  # snapped per row
+        Z = randn_like(key, Y) * cfg.sigma_max * t_val[:, None, None, None].astype(Y.dtype)
+        sample, _ = model.forward(variables, Y + Z, t_val, Y)
+    else:
+        raise ValueError(f"unknown eval branch {branch}")
+    return sample
+
+
 def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
              fixed_snr: Optional[float] = None):
     """Jitted eval-time enhancement for one branch/width bucket
@@ -70,48 +123,8 @@ def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
         Y = pad_spec(model._forward_transform(model._stft(y))[:, None])
         X = pad_spec(model._forward_transform(model._stft(x))[:, None])
 
-        if branch == "bbed":
-            score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
-            sde = model.sde.replace(N=N_STEPS)
-            sampler = get_pc_sampler(
-                "reverse_diffusion", "ald", sde=sde, score_fn=score_fn, Y=Y,
-                denoise=True, eps=cfg.t_eps, snr=SNR_ALD,
-                corrector_steps=CORRECTOR_STEPS,
-            )
-            sample, _ = sampler(key)
-        elif branch == "sebridge":
-            vec_t = jnp.full((Y.shape[0],), 0.999)
-            sample, _ = model.forward(variables, Y, vec_t, Y)
-        elif branch == "sebridge_v2":
-            vec_t = jnp.full((Y.shape[0],), 1.0)
-            Z = randn_like(key, Y) * cfg.sigma_max * 1.0
-            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
-        elif branch == "sebridge_v2_fixed":
-            vec_t = jnp.full((Y.shape[0],), 0.999)
-            noise_size = noise_mag(X, Y, mode="max")
-            Y = X + (Y - X) / noise_size * fixed_snr
-            Z = randn_like(key, Y) * cfg.sigma_max * 0.999
-            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
-        elif branch == "sebridge_v3_fixed":
-            vec_t = jnp.full((Y.shape[0],), 1.0)
-            Z = randn_like(key, Y) * cfg.sigma_max
-            sample, _ = model.forward(variables, Y + Z, vec_t, Y)
-        elif branch == "sebridge_v2_snr":
-            # NOTE: the reference's path calls calculate_snr_direct with two
-            # args and crashes (inference.py:273, SURVEY.md §3.6); implemented
-            # here with the intended fixed_snr argument.
-            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)  # [B]
-            Z = randn_like(key, Y) * cfg.sigma_max * t_val[:, None, None, None].astype(Y.dtype)
-            sample, _ = model.forward(variables, Y + Z, t_val, Y)
-        elif branch == "sebridge_v3_snr":
-            t_val = calculate_snr_direct(1.0, est_snr, fixed_snr)  # [B]
-            grid = jnp.asarray(t_30, dtype=jnp.float32)
-            idx = jnp.argmin(jnp.abs(grid[None, :] - t_val[:, None]), axis=1)
-            t_val = grid[idx]  # snapped per row
-            Z = randn_like(key, Y) * cfg.sigma_max * t_val[:, None, None, None].astype(Y.dtype)
-            sample, _ = model.forward(variables, Y + Z, t_val, Y)
-        else:
-            raise ValueError(f"unknown eval branch {branch}")
+        sample = spec_sample(model, variables, branch, X, Y, key, est_snr,
+                             fixed_snr)
 
         x_hat = model.to_audio(sample[:, 0]) * norm_factor
         return x_hat

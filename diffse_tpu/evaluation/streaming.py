@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.score_model import ScoreModel
-from .inference import _eval_fn
+from .inference import _eval_fn, spec_sample
 
 
 def _crossfade_weights(chunk_len: int, overlap: int, position: str) -> np.ndarray:
@@ -126,3 +126,121 @@ def enhance_streamed(
     wsum = np.where(wsum > 1e-8, wsum, 1.0)
     out = (acc / wsum).astype(np.float32)
     return out[:t_orig]
+
+
+_spec_stream_cache: dict = {}
+
+
+def _frame_crossfade_weights(n: int, chunk: int, overlap: int) -> np.ndarray:
+    """[n, chunk] frame-domain cross-fade weights: half-sample-offset ramps
+    over the overlap so adjacent chunks sum to exactly 1; utterance edges
+    (first head / last tail) are never ramped."""
+    w = np.ones((n, chunk), dtype=np.float32)
+    if overlap > 0 and n > 1:
+        ramp = ((np.arange(overlap) + 0.5) / overlap).astype(np.float32)
+        w[1:, :overlap] = ramp
+        w[:-1, -overlap:] = ramp[::-1]
+    return w
+
+
+def enhance_streamed_spec(
+    model: ScoreModel,
+    variables,
+    y_wav: np.ndarray,
+    model_type: str,
+    key: jax.Array,
+    chunk_frames: int = 64,
+    overlap_frames: int = 4,
+    x_wav: Optional[np.ndarray] = None,
+    est_snr: float = 1.0,
+    fixed_snr: Optional[float] = None,
+) -> np.ndarray:
+    """Spec-domain streaming: ONE on-device program per (n_chunks, geometry).
+
+    Unlike :func:`enhance_streamed` (which chunks the *waveform*, so every
+    chunk pays its own STFT center-reflect padding and per-chunk max-abs
+    normalization), this path computes a single whole-utterance STFT, slices
+    it into overlapped ``chunk_frames``-wide windows (every chunk edge sees
+    REAL signal context, not reflect-pad artifacts), enhances all chunks as
+    one batch, cross-fades the *linear* (decompressed) spectrogram chunks,
+    and runs a single iSTFT — normalization, chunking, enhancement,
+    overlap-add and synthesis are all inside one XLA program, so the host
+    does no per-chunk work at all. Per-utterance normalization matches the
+    full-context ``enhance()`` exactly (model.py:726-752).
+
+    Compute overhead over full-context enhancement is only the overlap
+    ratio ``chunk/(chunk-overlap)``; the default 4-frame overlap costs 6.7%.
+    """
+    assert chunk_frames % 64 == 0, "chunk_frames must be a multiple of 64"
+    assert 0 <= overlap_frames < chunk_frames
+    cfg = model.cfg
+    hop = cfg.hop_length
+    y_wav = np.asarray(y_wav).reshape(-1)
+    x_wav = y_wav if x_wav is None else np.asarray(x_wav).reshape(-1)
+    t_orig = y_wav.shape[-1]
+
+    step = chunk_frames - overlap_frames
+    frames = 1 + t_orig // hop
+    n = max(1, -(-(frames - overlap_frames) // step))  # ceil
+    total_frames = n * step + overlap_frames
+    pad_samples = (total_frames - 1) * hop
+
+    yp = np.zeros(pad_samples, dtype=np.float32)
+    xp = np.zeros(pad_samples, dtype=np.float32)
+    yp[: min(t_orig, pad_samples)] = y_wav[:pad_samples]
+    xp[: min(t_orig, pad_samples)] = x_wav[:pad_samples]
+
+    fs = cfg.fixed_snr if fixed_snr is None else fixed_snr
+    cache_key = (id(model), model_type, n, chunk_frames, overlap_frames, fs)
+    fn = _spec_stream_cache.get(cache_key)
+    if fn is None:
+        weights = jnp.asarray(
+            _frame_crossfade_weights(n, chunk_frames, overlap_frames)
+        )
+
+        def stream_fn(variables, x_in, y_in, key, est):
+            from ..models.score_model import calculate_normfac_direct
+
+            est_b = jnp.broadcast_to(jnp.atleast_1d(est), (n,))
+            norm = jnp.max(jnp.abs(y_in))
+            if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
+                # eval-harness normalization correction (inference.py:156)
+                norm = norm * calculate_normfac_direct(1.0, est, fs)
+            y_n = y_in[None] / norm
+            x_n = x_in[None] / norm
+            if model_type == "sebridge_v3_fixed":
+                y_n = x_n + (y_n - x_n) * fs  # inference.py:165-166
+            Yf = model._forward_transform(model._stft(y_n))[:, None]  # [1,1,F,T]
+            Xf = model._forward_transform(model._stft(x_n))[:, None]
+            Yc = jnp.concatenate(
+                [Yf[..., i * step : i * step + chunk_frames] for i in range(n)]
+            )  # [n,1,F,chunk]
+            Xc = jnp.concatenate(
+                [Xf[..., i * step : i * step + chunk_frames] for i in range(n)]
+            )
+            sample = spec_sample(
+                model, variables, model_type, Xc, Yc, key, est_b, fs
+            )
+            lin = model._backward_transform(sample)  # linear STFT domain
+            w = weights[:, None, None, :].astype(lin.dtype)
+            acc = jnp.zeros(Yf.shape, dtype=lin.dtype)
+            wsum = jnp.zeros((total_frames,), dtype=jnp.float32)
+            for i in range(n):
+                sl = slice(i * step, i * step + chunk_frames)
+                acc = acc.at[..., sl].add(lin[i : i + 1] * w[i : i + 1])
+                wsum = wsum.at[sl].add(weights[i])
+            acc = acc / jnp.maximum(wsum, 1e-8).astype(acc.dtype)
+            x_hat = model._istft(acc[:, 0], length=pad_samples)
+            return x_hat * norm
+
+        fn = jax.jit(stream_fn)
+        _spec_stream_cache[cache_key] = fn
+
+    out = np.asarray(
+        fn(variables, jnp.asarray(xp), jnp.asarray(yp), key,
+           jnp.asarray(est_snr, dtype=jnp.float32))
+    )[0]
+    out = out[:t_orig]
+    if out.shape[-1] < t_orig:
+        out = np.pad(out, (0, t_orig - out.shape[-1]))
+    return out

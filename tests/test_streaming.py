@@ -210,3 +210,106 @@ def test_streaming_trim_improves_agreement():
         chunk_frames=64, overlap_frames=16, trim_frames=4)))
     print(f"agreement no-trim {base:.2f} dB, trim4 {trimmed:.2f} dB")
     assert trimmed > base - 0.5, (base, trimmed)
+
+
+# ----------------------------------------------- spec-domain streaming path
+
+
+def test_spec_streamed_identity_reconstruction(rng, monkeypatch):
+    """With the branch core replaced by identity (return Y), spec-domain
+    streaming reduces to STFT -> chunk -> crossfade-OLA -> iSTFT, which must
+    reconstruct the input exactly (the frame chunks tile the full spec and
+    the crossfade weights sum to 1)."""
+    from diffse_tpu.evaluation.streaming import enhance_streamed_spec
+
+    model, variables = _model()
+
+    def fake_spec_sample(model_, variables_, branch, X, Y, key, est, fs):
+        return Y
+
+    monkeypatch.setattr(streaming, "spec_sample", fake_spec_sample)
+    streaming._spec_stream_cache.clear()
+    y = rng.standard_normal(30000).astype(np.float32) * 0.1
+    out = enhance_streamed_spec(model, variables, y, "sebridge_v2",
+                                jax.random.PRNGKey(0), chunk_frames=64,
+                                overlap_frames=4)
+    streaming._spec_stream_cache.clear()
+    assert out.shape == y.shape
+    np.testing.assert_allclose(out, y, atol=1e-4)
+
+
+def test_spec_streamed_real_model_and_short_utterance(rng):
+    from diffse_tpu.evaluation.streaming import enhance_streamed_spec
+
+    model, variables = _model()
+    for nlen in (25000, 3000):
+        y = rng.standard_normal(nlen).astype(np.float32) * 0.1
+        out = enhance_streamed_spec(model, variables, y, "sebridge_v2",
+                                    jax.random.PRNGKey(1))
+        assert out.shape == y.shape
+        assert np.all(np.isfinite(out))
+
+
+def test_spec_streamed_single_chunk_equals_full_context(rng):
+    """An utterance that fits one chunk must match the full-context eval path
+    exactly (same normalization, same spec, same draws)."""
+    from diffse_tpu.evaluation.inference import eval_enhance_file
+    from diffse_tpu.evaluation.streaming import enhance_streamed_spec
+
+    model, variables = _model()
+    y = rng.standard_normal(63 * 128).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(3)
+    full = eval_enhance_file(model, variables, y, y, "sebridge_v2", key)
+    streamed = enhance_streamed_spec(model, variables, y, "sebridge_v2", key,
+                                     chunk_frames=64, overlap_frames=4)
+    np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_spec_streaming_beats_wav_streaming_agreement():
+    """Spec-domain chunking gives every chunk REAL boundary context (no
+    per-chunk reflect padding, per-utterance normalization), so its
+    agreement with full-context enhancement must be at least as good as the
+    waveform-domain path at the same overlap."""
+    from diffse_tpu.evaluation.inference import _eval_fn
+    from diffse_tpu.evaluation.metrics import si_sdr
+    from diffse_tpu.evaluation.streaming import enhance_streamed_spec
+
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", model_type="sebridge",
+                           snr_conditioned="false", sigma_max=1.0, num_frames=64)
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    rng = np.random.default_rng(7)
+    t = np.arange(32000) / 16000.0
+    clean = np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 1.7 * t) ** 2)
+    y = (clean + 0.3 * rng.standard_normal(len(t))).astype(np.float32) * 0.1
+
+    frames = 1 + len(y) // model.cfg.hop_length
+    t_pad = frames + (64 - frames % 64) % 64
+    full_fn = _eval_fn(model, "sebridge", t_pad)
+    yb = jnp.asarray(y)[None]
+    full = np.asarray(full_fn(variables, yb, yb, jax.random.PRNGKey(1),
+                              jnp.asarray([1.0])))[0, : len(y)]
+
+    spec_agr, wav_agr = {}, {}
+    for overlap in (0, 4, 8, 16):
+        s = enhance_streamed_spec(model, variables, y, "sebridge",
+                                  jax.random.PRNGKey(1), chunk_frames=64,
+                                  overlap_frames=overlap)
+        spec_agr[overlap] = float(si_sdr(full, s))
+        w = enhance_streamed(model, variables, y, "sebridge",
+                             jax.random.PRNGKey(1), chunk_frames=64,
+                             overlap_frames=overlap)
+        wav_agr[overlap] = float(si_sdr(full, w))
+    print("full-context agreement (SI-SDR dB)  spec:", spec_agr, " wav:", wav_agr)
+    # spec-domain must not be worse than wav-domain anywhere (tolerance 1 dB)
+    for ov in spec_agr:
+        assert spec_agr[ov] > wav_agr[ov] - 1.0, (spec_agr, wav_agr)
+    assert spec_agr[16] > 5.0, spec_agr

@@ -58,6 +58,7 @@ def get_pc_sampler(
     intermediate: bool = False,
     timestep_type: Optional[str] = "linear",
     unroll: int = 1,
+    peel_last: Optional[bool] = None,
     **ignored_kwargs,
 ):
     """Create a predictor-corrector sampler (sgmse/sampling/__init__.py:28-80).
@@ -108,18 +109,54 @@ def get_pc_sampler(
     y_prior = Y if Y_prior is None else Y_prior
     batch = Y.shape[0]
 
+    # Peel the FINAL corrector+predictor step out of the scan when only the
+    # denoised mean is returned: the scan then carries just (x, key, i) —
+    # x_mean is never materialized as a per-step carry output (that forced an
+    # extra full-tensor HBM write every step just to keep the last one) —
+    # and the final predictor computes x_mean directly, skipping the noise
+    # draw + add that denoise=True discards. Results are identical up to
+    # f32 fusion rounding: the key-split structure is unchanged and the
+    # skipped draw feeds nothing (equivalence test in test_sampling.py).
+    if peel_last is None:
+        peel_last = denoise and not intermediate
+    peel = bool(peel_last) and denoise and not intermediate and n_steps >= 1
+
+    def step_update(x, k, i):
+        k, kc, kp = jax.random.split(k, 3)
+        t = t0 - i * delta
+        stepsize = jnp.where(i < n_steps - 1, delta, t_last)
+        vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
+        x, x_mean = corrector.update_fn(kc, x, vec_t, y_cond)
+        x, x_mean = predictor.update_fn(kp, x, vec_t, y_cond, stepsize)
+        return x, x_mean, k
+
     def pc_sampler(key: jax.Array):
         prior_key, scan_key = jax.random.split(key)
         xt, _ = sde.prior_sampling(prior_key, y_prior)
+        ns = n_steps * (corrector.n_steps + 1)
+
+        if peel:
+            def body(carry, _):
+                x, k, i = carry
+                x, _, k = step_update(x, k, i)
+                return (x, k, i + 1.0), None
+
+            init = (xt, scan_key, jnp.asarray(0.0, dtype=jnp.float32))
+            (x, k, i), _ = jax.lax.scan(
+                body, init, None, length=n_steps - 1, unroll=unroll
+            )
+            # final step, same f32 arithmetic as in-scan (t from the
+            # carried counter, not the numpy grid value)
+            k, kc, kp = jax.random.split(k, 3)
+            t = t0 - i * delta
+            vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
+            x, _ = corrector.update_fn(kc, x, vec_t, y_cond)
+            x_mean = predictor.update_mean(kp, x, vec_t, y_cond, t_last)
+            return x_mean, ns
 
         def body(carry, _):
             x, x_mean, k, i = carry
-            k, kc, kp = jax.random.split(k, 3)
-            t = t0 - i * delta
-            stepsize = jnp.where(i < n_steps - 1, delta, t_last)
-            vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
-            x, x_mean = corrector.update_fn(kc, x, vec_t, y_cond)
-            x, x_mean = predictor.update_fn(kp, x, vec_t, y_cond, stepsize)
+            x, x_mean, k = step_update(x, k, i)
             ys = (x_mean if denoise else x) if intermediate else None
             return (x, x_mean, k, i + 1.0), ys
 
@@ -127,7 +164,6 @@ def get_pc_sampler(
         (xt, xt_mean, _, _), traj = jax.lax.scan(
             body, init, None, length=n_steps, unroll=unroll
         )
-        ns = n_steps * (corrector.n_steps + 1)
         if intermediate:
             return traj, ns
         x_result = xt_mean if denoise else xt

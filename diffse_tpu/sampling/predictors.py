@@ -35,6 +35,13 @@ class Predictor(abc.ABC):
     def update_fn(self, key, x, t, y, stepsize):
         """One predictor update. Returns (x, x_mean)."""
 
+    def update_mean(self, key, x, t, y, stepsize):
+        """The denoised mean only (no noise injection). Used for the FINAL
+        reverse step when the sampler returns x_mean (denoise=True): the
+        noise add — and its PRNG draw — would be discarded, so subclasses
+        may skip them entirely. Must equal ``update_fn(...)[1]``."""
+        return self.update_fn(key, x, t, y, stepsize)[1]
+
 
 @PredictorRegistry.register("euler_maruyama")
 class EulerMaruyamaPredictor(Predictor):
@@ -55,6 +62,10 @@ class ReverseDiffusionPredictor(Predictor):
         x_mean = x - f
         x = x_mean + _bc(g, x) * z
         return x, x_mean
+
+    def update_mean(self, key, x, t, y, stepsize):
+        f, _ = self.rsde.discretize(x, t, y, stepsize)
+        return x - f
 
 
 @PredictorRegistry.register("none")

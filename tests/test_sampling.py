@@ -194,7 +194,11 @@ def test_pc_sampler_intermediate_trajectory():
     traj, ns_i = jax.jit(sampler_i)(sample_key)
     assert ns_i == ns == 7 * 2
     assert traj.shape == (7,) + y.shape
-    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(sample))
+    # the production sampler peels the final step out of the scan; the
+    # different program structure changes XLA fusion/FMA rounding at the
+    # f32-epsilon level, so equality is to tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(sample),
+                               rtol=1e-5, atol=1e-4)
     # the trajectory should move: early steps differ from the final sample
     assert not np.allclose(np.asarray(traj[0]), np.asarray(traj[-1]))
 
@@ -304,3 +308,38 @@ def test_pc_sampler_unroll_matches():
     a, _ = jax.jit(s1)(jax.random.PRNGKey(3))
     b, _ = jax.jit(s2)(jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pc_sampler_peeled_matches_unpeeled():
+    """The peeled-final-step production sampler (denoise=True default) must be
+    bit-identical to the legacy all-in-scan form: the key-split structure is
+    unchanged and the skipped final noise draw feeds nothing."""
+    import numpy as np
+
+    from diffse_tpu.sde import SDERegistry
+
+    sde = SDERegistry.get_by_name("bbed")(T_sampling=0.999, k=2.6, theta=0.52, N=7)
+
+    def score_fn(x, t, y):
+        return -(x - y) * (1.0 + t[:, None, None, None]).astype(x.dtype)
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray((rng.standard_normal((2, 1, 8, 8))
+                     + 1j * rng.standard_normal((2, 1, 8, 8))).astype(np.complex64))
+    key = jax.random.PRNGKey(5)
+    for n in (1, 2, 7):
+        s = sde.replace(N=n)
+        peeled = get_pc_sampler("reverse_diffusion", "ald", sde=s,
+                                score_fn=score_fn, Y=y, denoise=True,
+                                eps=0.03, snr=0.5, corrector_steps=1)
+        legacy = get_pc_sampler("reverse_diffusion", "ald", sde=s,
+                                score_fn=score_fn, Y=y, denoise=True,
+                                eps=0.03, snr=0.5, corrector_steps=1,
+                                peel_last=False)
+        a, na = jax.jit(peeled)(key)
+        b, nb = jax.jit(legacy)(key)
+        assert na == nb
+        # identical math; XLA fuses the peeled structure differently, so
+        # agreement is at f32 rounding level rather than bitwise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)

@@ -109,16 +109,17 @@ def get_pc_sampler(
     y_prior = Y if Y_prior is None else Y_prior
     batch = Y.shape[0]
 
-    # Peel the FINAL corrector+predictor step out of the scan when only the
-    # denoised mean is returned: the scan then carries just (x, key, i) —
-    # x_mean is never materialized as a per-step carry output (that forced an
-    # extra full-tensor HBM write every step just to keep the last one) —
-    # and the final predictor computes x_mean directly, skipping the noise
-    # draw + add that denoise=True discards. Results are identical up to
-    # f32 fusion rounding: the key-split structure is unchanged and the
-    # skipped draw feeds nothing (equivalence test in test_sampling.py).
+    # Optionally peel the FINAL corrector+predictor step out of the scan when
+    # only the denoised mean is returned: the scan then carries just
+    # (x, key, i) and the final predictor computes x_mean directly, skipping
+    # the noise draw + add that denoise=True discards. Results are identical
+    # up to f32 fusion rounding (equivalence test in test_sampling.py).
+    # DEFAULT OFF: measured on TPU v5e (DEVNOTES round 3), XLA already
+    # buffer-aliases the x_mean carry — the peel changed device time by 0.0%
+    # while the doubled network inline (scan body + peeled step) made the
+    # remote compile 2.5x slower (1433 s vs 567 s).
     if peel_last is None:
-        peel_last = denoise and not intermediate
+        peel_last = False
     peel = bool(peel_last) and denoise and not intermediate and n_steps >= 1
 
     def step_update(x, k, i):

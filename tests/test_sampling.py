@@ -331,7 +331,8 @@ def test_pc_sampler_peeled_matches_unpeeled():
         s = sde.replace(N=n)
         peeled = get_pc_sampler("reverse_diffusion", "ald", sde=s,
                                 score_fn=score_fn, Y=y, denoise=True,
-                                eps=0.03, snr=0.5, corrector_steps=1)
+                                eps=0.03, snr=0.5, corrector_steps=1,
+                                peel_last=True)
         legacy = get_pc_sampler("reverse_diffusion", "ald", sde=s,
                                 score_fn=score_fn, Y=y, denoise=True,
                                 eps=0.03, snr=0.5, corrector_steps=1,

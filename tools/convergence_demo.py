@@ -35,6 +35,11 @@ def main(argv=None):
     parser.add_argument("--steps_per_epoch", type=int, default=40)
     parser.add_argument("--num_train", type=int, default=48)
     parser.add_argument("--work_dir", type=str, default=None)
+    parser.add_argument("--model_type", type=str, default="bbed",
+                        help="bbed (30-step sampler; loss is the pass signal) "
+                             "or sebridge_v2 (1-NFE consistency: direct "
+                             "clean-spec regression, the branch where toy-"
+                             "scale training CAN show a sampler-quality gain)")
     args = parser.parse_args(argv)
 
     import jax
@@ -64,9 +69,10 @@ def main(argv=None):
                            num_valid2=4, num_test=4, duration_s=1.2)
 
     cfg = ScoreModelConfig(
-        backbone="ncsnpp", sde="bbed", model_type="bbed",
-        snr_conditioned="false", sigma_max=0.5, num_frames=64,
-        num_eval_files=0,
+        backbone="ncsnpp", sde="bbed", model_type=args.model_type,
+        snr_conditioned="false",
+        sigma_max=0.5 if args.model_type == "bbed" else 1.0,
+        num_frames=64, num_eval_files=0,
     )
     backbone = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1,
                     attn_resolutions=(64,), image_size=256)
@@ -81,7 +87,8 @@ def main(argv=None):
 
     def quality(variables):
         return evaluate_model(model, variables, dm, num_eval_files=4,
-                              model_type="bbed", key=jax.random.PRNGKey(9))
+                              model_type=args.model_type,
+                              key=jax.random.PRNGKey(9))
 
     def mixture_quality():
         dm.setup("fit")
@@ -138,6 +145,22 @@ def main(argv=None):
     converged = vl1 < 0.7 * vl0
     print(f"[demo] convergence: held-out loss down "
           f"{100 * (1 - vl1 / vl0):.0f}% ({'OK' if converged else 'NOT CONVERGED'})")
+    # Sampler-quality signal: trained-vs-untrained and enhanced-vs-mixture
+    # deltas. For the 30-step bbed reverse SDE a toy-scale score is still too
+    # inaccurate to beat the mixture (documented above); the 1-NFE
+    # consistency branch regresses the clean spec directly, so its deltas are
+    # the per-branch quality pass signal.
+    print(f"[demo] quality delta trained-vs-untrained: "
+          f"pesq {q1[0] - q0[0]:+.3f}  si_sdr {q1[1] - q0[1]:+.2f} dB  "
+          f"estoi {q1[2] - q0[2]:+.3f}")
+    print(f"[demo] quality delta enhanced-vs-mixture: "
+          f"pesq {q1[0] - mix[0]:+.3f}  si_sdr {q1[1] - mix[1]:+.2f} dB  "
+          f"estoi {q1[2] - mix[2]:+.3f}")
+    if args.model_type != "bbed":
+        improved = q1[1] > q0[1]  # training must improve sampler output
+        print(f"[demo] sampler-quality signal (trained > untrained SI-SDR): "
+              f"{'OK' if improved else 'NOT IMPROVED'}")
+        converged = converged and improved
     return 0 if converged else 1
 
 

@@ -37,9 +37,11 @@ STAGES = [
     # primary: bf16 trunk + concat-free up path (pure XLA; every Pallas
     # variant measured slower on the full model — DEVNOTES.md round 2).
     # The bridge's remote compiles flake occasionally, so retry the primary
-    # once before degrading to the (much slower) f32 stage.
-    ("fused_b16_bf16", 1400),
-    ("fused_b16_bf16", 1400),
+    # once before degrading to the (much slower) f32 stage. Budget covers
+    # two large compiles (primary program + the spec-streaming program) at
+    # the observed 310-570 s each plus the occasional 2x-slow flake.
+    ("fused_b16_bf16", 2400),
+    ("fused_b16_bf16", 2400),
     ("fused_b16", 1100),
     ("fused_b4", 900),
     ("stepwise", 700),
@@ -154,12 +156,78 @@ def run_stage(stage: str):
             wall = min(wall, wall_tp)
         _emit(stage, batch, audio_len, wall, jax, extra)
 
-        # Secondary A: end-to-end streaming enhancement of one realistic
-        # 7.1 s utterance (VERDICT r1 #3): overlap-chunked serving reuses the
-        # SAME compiled program (16 chunks of 64 frames, 8-frame overlap), so
-        # this costs no extra compile. Measures wav-in -> wav-out including
-        # host chunking + cross-fade overlap-add.
+        # Secondary A: end-to-end streaming enhancement of realistic ~7 s
+        # utterances. PRODUCTION mode (round 3): spec-domain streaming at the
+        # trained-net-characterized default (mode=spec, overlap=4 — PESQ
+        # parity with full-context, tools/streaming_quality.py) — one
+        # on-device program does STFT -> overlapped chunk batch -> 60-NFE
+        # sampling -> crossfade OLA -> iSTFT, so the host does no per-chunk
+        # work. The legacy wav-domain path (host OLA, reuses the primary
+        # program, no extra compile) is also reported for comparison.
         stream_extra = {}
+        try:
+            from diffse_tpu.evaluation import streaming as _streaming
+            from diffse_tpu.evaluation.streaming import enhance_streamed_spec
+
+            OV_SPEC = 4
+            step_fr = NUM_FRAMES - OV_SPEC
+            n_chunks = 15
+            total_frames = n_chunks * step_fr + OV_SPEC  # 904
+            t_utt_spec = (total_frames - 1) * cfg.hop_length  # 7.22 s
+            utt_spec = np.asarray(
+                rng.standard_normal(t_utt_spec).astype(np.float32) * 0.1)
+
+            print(f"[{stage}] compiling spec-streaming program "
+                  f"(n={n_chunks}, ov={OV_SPEC})...", file=sys.stderr, flush=True)
+            t0 = time.time()
+            enhance_streamed_spec(model, variables, utt_spec, "bbed",
+                                  jax.random.PRNGKey(40), chunk_frames=NUM_FRAMES,
+                                  overlap_frames=OV_SPEC)
+            print(f"[{stage}] spec-streaming compile+first: "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+            # latency (one utterance synchronous, through the public API)
+            st = []
+            for i in range(REPEATS):
+                t0 = time.time()
+                enhance_streamed_spec(model, variables, utt_spec, "bbed",
+                                      jax.random.PRNGKey(41 + i),
+                                      chunk_frames=NUM_FRAMES,
+                                      overlap_frames=OV_SPEC)
+                st.append(time.time() - t0)
+            spec_wall = min(st)
+
+            # pipelined serving: drive the cached jit with several
+            # utterances in flight (host work is one zero-pad per utterance)
+            cache_key = (id(model), "bbed", n_chunks, NUM_FRAMES, OV_SPEC,
+                         cfg.fixed_snr)
+            sfn = _streaming._spec_stream_cache.get(
+                cache_key) or next(iter(_streaming._spec_stream_cache.values()))
+            pad_samples = (total_frames - 1) * cfg.hop_length
+            yp = np.zeros(pad_samples, dtype=np.float32)
+            yp[: t_utt_spec] = utt_spec
+            ypj = jnp.asarray(yp)
+            est1 = jnp.asarray(1.0, dtype=jnp.float32)
+            outs = [sfn(variables, ypj, ypj, jax.random.PRNGKey(44 + i), est1)
+                    for i in range(4)]
+            jax.block_until_ready(outs)
+            N_UTTS = 12
+            t0 = time.time()
+            outs = [sfn(variables, ypj, ypj, jax.random.PRNGKey(50 + i), est1)
+                    for i in range(N_UTTS)]
+            jax.block_until_ready(outs)
+            spec_wall = min(spec_wall, (time.time() - t0) / N_UTTS)
+            stream_extra.update({
+                "stream_e2e_rtf_x": round((t_utt_spec / SR) / spec_wall, 3),
+                "stream_mode": "spec",
+                "stream_utt_seconds": round(t_utt_spec / SR, 2),
+                "stream_overlap_frames": OV_SPEC,
+                "stream_n_chunks": n_chunks,
+            })
+        except Exception as e:
+            print(f"[{stage}] spec-streaming measurement failed: {e}",
+                  file=sys.stderr, flush=True)
+
         try:
             overlap = 8
             hop_len = (NUM_FRAMES - overlap - 1) * cfg.hop_length
@@ -235,11 +303,19 @@ def run_stage(stage: str):
             stream_finish(*pend)
             swall_tp = (time.time() - t0) / N_UTTS
             swall = min(swall, swall_tp)
-            stream_extra = {
-                "stream_e2e_rtf_x": round((t_utt / SR) / swall, 3),
-                "stream_utt_seconds": round(t_utt / SR, 2),
-                "stream_overlap_frames": overlap,
-            }
+            stream_extra.update({
+                "stream_wav_e2e_rtf_x": round((t_utt / SR) / swall, 3),
+                "stream_wav_overlap_frames": overlap,
+            })
+            if "stream_e2e_rtf_x" not in stream_extra:
+                # spec-mode measurement failed: expose the wav number as the
+                # headline streaming figure rather than nothing
+                stream_extra.update({
+                    "stream_e2e_rtf_x": round((t_utt / SR) / swall, 3),
+                    "stream_mode": "wav",
+                    "stream_utt_seconds": round(t_utt / SR, 2),
+                    "stream_overlap_frames": overlap,
+                })
         except Exception as e:
             print(f"[{stage}] streaming measurement failed: {e}",
                   file=sys.stderr, flush=True)

@@ -158,8 +158,8 @@ def run_stage(stage: str):
 
         # Secondary A: end-to-end streaming enhancement of realistic ~7 s
         # utterances. PRODUCTION mode (round 3): spec-domain streaming at the
-        # trained-net-characterized default (mode=spec, overlap=4 — PESQ
-        # parity with full-context, tools/streaming_quality.py) — one
+        # trained-net-characterized default (mode=spec, overlap=2 — PESQ
+        # parity with full-context at >=2 frames, tools/streaming_quality.py) — one
         # on-device program does STFT -> overlapped chunk batch -> 60-NFE
         # sampling -> crossfade OLA -> iSTFT, so the host does no per-chunk
         # work. The legacy wav-domain path (host OLA, reuses the primary
@@ -169,11 +169,11 @@ def run_stage(stage: str):
             from diffse_tpu.evaluation import streaming as _streaming
             from diffse_tpu.evaluation.streaming import enhance_streamed_spec
 
-            OV_SPEC = 4
+            OV_SPEC = 2
             step_fr = NUM_FRAMES - OV_SPEC
             n_chunks = 15
-            total_frames = n_chunks * step_fr + OV_SPEC  # 904
-            t_utt_spec = (total_frames - 1) * cfg.hop_length  # 7.22 s
+            total_frames = n_chunks * step_fr + OV_SPEC  # 932
+            t_utt_spec = (total_frames - 1) * cfg.hop_length  # 7.45 s
             utt_spec = np.asarray(
                 rng.standard_normal(t_utt_spec).astype(np.float32) * 0.1)
 

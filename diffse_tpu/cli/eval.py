@@ -62,7 +62,8 @@ def main(argv=None):
                         help="If > 0 (multiple of 64), enhance via overlap-chunked "
                              "streaming: ONE compiled width bucket serves every "
                              "utterance length (evaluation/streaming.py)")
-    parser.add_argument("--streaming_overlap_frames", type=int, default=8)
+    parser.add_argument("--streaming_overlap_frames", type=int, default=2,
+                        help="Chunk overlap in frames (default 2: measured PESQ-parity with full-context for the spec mode)")
     parser.add_argument("--streaming_trim_frames", type=int, default=0,
                         help="Discard this many frames per interior chunk edge "
                              "before the overlap-add (boundary-quality knob; "

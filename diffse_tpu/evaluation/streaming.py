@@ -150,7 +150,7 @@ def enhance_streamed_spec(
     model_type: str,
     key: jax.Array,
     chunk_frames: int = 64,
-    overlap_frames: int = 4,
+    overlap_frames: int = 2,
     x_wav: Optional[np.ndarray] = None,
     est_snr: float = 1.0,
     fixed_snr: Optional[float] = None,
@@ -169,7 +169,11 @@ def enhance_streamed_spec(
     full-context ``enhance()`` exactly (model.py:726-752).
 
     Compute overhead over full-context enhancement is only the overlap
-    ratio ``chunk/(chunk-overlap)``; the default 4-frame overlap costs 6.7%.
+    ratio ``chunk/(chunk-overlap)``; the default 2-frame overlap costs 3.2%.
+    Defaults chosen by trained-net measurement (tools/streaming_quality.py,
+    DEVNOTES round 3): PESQ/SI-SDR parity with full-context at overlap >= 2
+    for both 1.5 s and 4 s utterances; 16 ms of cross-fade suffices because
+    every chunk edge sees real signal context.
     """
     assert chunk_frames % 64 == 0, "chunk_frames must be a multiple of 64"
     assert 0 <= overlap_frames < chunk_frames

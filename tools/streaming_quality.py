@@ -37,6 +37,11 @@ def main(argv=None):
     parser.add_argument("--num_files", type=int, default=6)
     parser.add_argument("--overlaps", type=int, nargs="*",
                         default=[0, 2, 4, 8, 16])
+    parser.add_argument("--chunk_frames", type=int, default=64)
+    parser.add_argument("--eval_dir", type=str, default=None,
+                        help="clean/noisy pair dir (default <work_dir>/data/valid)")
+    parser.add_argument("--wav_mode", action="store_true",
+                        help="also measure the waveform-domain path")
     args = parser.parse_args(argv)
 
     import jax
@@ -64,7 +69,7 @@ def main(argv=None):
     print(f"[sq] loaded {ckpt_dir} "
           f"(model_type={model.cfg.model_type}, nf={model._backbone_kwargs.get('nf')})")
 
-    valid = os.path.join(args.work_dir, "data", "valid")
+    valid = args.eval_dir or os.path.join(args.work_dir, "data", "valid")
     clean_files = sorted(
         os.path.join(valid, "clean", f)
         for f in os.listdir(os.path.join(valid, "clean"))
@@ -92,14 +97,17 @@ def main(argv=None):
         add("mixture", score(x, y))
         full = eval_enhance_file(model, variables, x, y, mt, k)
         add("full", score(x, full))
+        cf = args.chunk_frames
         for ov in args.overlaps:
             s = enhance_streamed_spec(model, variables, y, mt, k,
-                                      chunk_frames=64, overlap_frames=ov,
+                                      chunk_frames=cf, overlap_frames=ov,
                                       x_wav=x)
-            add(f"spec_ov{ov}", score(x, s))
-            w = enhance_streamed(model, variables, y, mt, k,
-                                 chunk_frames=64, overlap_frames=ov, x_wav=x)
-            add(f"wav_ov{ov}", score(x, w))
+            add(f"spec_c{cf}_ov{ov}", score(x, s))
+            if args.wav_mode:
+                w = enhance_streamed(model, variables, y, mt, k,
+                                     chunk_frames=cf, overlap_frames=ov,
+                                     x_wav=x)
+                add(f"wav_c{cf}_ov{ov}", score(x, w))
         print(f"[sq] file {i + 1}/{len(clean_files)} done", flush=True)
 
     def mean(name, j):

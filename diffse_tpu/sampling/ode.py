@@ -19,19 +19,29 @@ import jax
 import jax.numpy as jnp
 
 # Dormand-Prince (RK45) Butcher tableau, as used by scipy.integrate.RK45.
-_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0])
+# HOST numpy constants: building them with jnp at import time would run an
+# eager device op on module import, which must never happen (a broken ambient
+# TPU client raises on the first op — __graft_entry__'s hardening contract).
+# They become on-device constants when traced.
+import numpy as np
+
+_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0], dtype=np.float32)
 _A = [
-    jnp.array([], dtype=jnp.float32),
-    jnp.array([1 / 5]),
-    jnp.array([3 / 40, 9 / 40]),
-    jnp.array([44 / 45, -56 / 15, 32 / 9]),
-    jnp.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
-    jnp.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
+    np.array([], dtype=np.float32),
+    np.array([1 / 5], dtype=np.float32),
+    np.array([3 / 40, 9 / 40], dtype=np.float32),
+    np.array([44 / 45, -56 / 15, 32 / 9], dtype=np.float32),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+             dtype=np.float32),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+             dtype=np.float32),
 ]
-_B = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84])
+_B = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+              dtype=np.float32)
 # Error weights: b - b_hat (5th order minus embedded 4th order), incl. k7 term.
-_E = jnp.array(
-    [71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200, 22 / 525, -1 / 40]
+_E = np.array(
+    [71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200, 22 / 525, -1 / 40],
+    dtype=np.float32,
 )
 
 _SAFETY = 0.9

@@ -171,9 +171,12 @@ def run_stage(stage: str):
 
             OV_SPEC = 2
             step_fr = NUM_FRAMES - OV_SPEC
-            n_chunks = 15
-            total_frames = n_chunks * step_fr + OV_SPEC  # 932
-            t_utt_spec = (total_frames - 1) * cfg.hop_length  # 7.45 s
+            # 16 chunks: the enhance batch inside the program is then exactly
+            # 16 (batch-8-aligned for the MXU; 15 measured ~6% slower — the
+            # padded row is pure waste)
+            n_chunks = 16
+            total_frames = n_chunks * step_fr + OV_SPEC  # 994
+            t_utt_spec = (total_frames - 1) * cfg.hop_length  # 7.94 s
             utt_spec = np.asarray(
                 rng.standard_normal(t_utt_spec).astype(np.float32) * 0.1)
 

@@ -24,12 +24,13 @@ wideband extensions from the published standard:
 Conformance statement: the structure, constants, and tables follow the
 published standard and are enforced self-consistent by tests
 (tests/test_pesq.py: identity anchor =~4.64 max MOS-LQO, noise monotonicity,
-level and delay invariance, table partition invariants). Bit-exact ITU
-conformance CANNOT be certified in this environment (no conformance dataset,
-no reference binary, zero egress); two simplifications are documented inline:
-utterance re-splitting on mid-utterance delay jumps is not performed (the
-bad-interval re-alignment below covers the same failure mode during scoring),
-and bad-interval re-alignment updates the symmetric disturbance only. For
+level and delay invariance, mid-utterance delay-jump splitting, table
+partition invariants). Bit-exact ITU conformance CANNOT be certified in this
+environment (no conformance dataset, no reference binary, zero egress).
+Both time-varying-delay paths of the standard are implemented: utterances are
+re-split when their internal delay jumps (_split_utterances/_split_align,
+the standard's utterance_split), and bad-interval re-alignment recomputes
+both the symmetric and asymmetric disturbances at the re-aligned delay. For
 time-synchronized speech-enhancement scoring neither path is normally
 exercised.
 """
@@ -202,13 +203,13 @@ def _id_utterances(vad: np.ndarray):
     return spans
 
 
-def _time_align(ref: np.ndarray, deg: np.ndarray, startr: int, endr: int,
-                crude_delay: int):
-    """Fine per-utterance alignment: Hann-windowed circular cross-correlation
-    of ALIGN_NFFT frames, magnitudes compressed by ^0.125, accumulated into a
-    triangular-smeared delay histogram. Returns (delay_samples, confidence)."""
+def _frame_align_hists(ref: np.ndarray, deg: np.ndarray, startr: int,
+                       endr: int, crude_delay: int):
+    """Per-frame alignment histograms: Hann-windowed circular
+    cross-correlation of ALIGN_NFFT frames, magnitudes compressed by ^0.125,
+    each triangular-smeared into its own length-ALIGN_NFFT histogram.
+    Returns (hists [n_frames, ALIGN_NFFT], ref-sample frame starts)."""
     window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(ALIGN_NFFT) / (ALIGN_NFFT - 1)))
-    hist = np.zeros(ALIGN_NFFT)
     kernel = ALIGN_NFFT // 64
 
     pos_r = startr
@@ -216,7 +217,7 @@ def _time_align(ref: np.ndarray, deg: np.ndarray, startr: int, endr: int,
     if pos_d < 0:
         pos_r -= pos_d
         pos_d = 0
-    n_frames = 0
+    hists, positions = [], []
     while pos_r + ALIGN_NFFT <= endr and pos_d + ALIGN_NFFT <= len(deg):
         x1 = ref[pos_r : pos_r + ALIGN_NFFT] * window
         x2 = deg[pos_d : pos_d + ALIGN_NFFT] * window
@@ -226,31 +227,105 @@ def _time_align(ref: np.ndarray, deg: np.ndarray, startr: int, endr: int,
         v = np.abs(corr) ** 0.125
         v_max = float(np.max(v)) * 0.99
         idxs = np.nonzero(v > v_max)[0]
+        hist = np.zeros(ALIGN_NFFT)
         for i in idxs:
             for k in range(1 - kernel, kernel):
                 hist[(i + k) % ALIGN_NFFT] += v[i] * (1.0 - abs(k) / kernel)
+        hists.append(hist)
+        positions.append(pos_r)
         pos_r += ALIGN_NFFT // 4
         pos_d += ALIGN_NFFT // 4
-        n_frames += 1
+    if hists:
+        return np.stack(hists), np.asarray(positions)
+    return np.zeros((0, ALIGN_NFFT)), np.zeros(0, dtype=np.int64)
 
-    if n_frames == 0 or float(np.max(hist)) <= 0.0:
-        return crude_delay, 0.0
+
+def _hist_peak(hist: np.ndarray):
+    """(delay_shift, confidence) of one accumulated alignment histogram."""
+    total = float(np.sum(hist))
+    if total <= 0.0:
+        return 0, 0.0
     best = int(np.argmax(hist))
     shift = best if best < ALIGN_NFFT // 2 else best - ALIGN_NFFT
-    total = float(np.sum(hist))
-    conf = float(np.max(hist)) / (total / ALIGN_NFFT) if total > 0 else 0.0
+    conf = float(np.max(hist)) / (total / ALIGN_NFFT)
+    return shift, conf
+
+
+def _time_align(ref: np.ndarray, deg: np.ndarray, startr: int, endr: int,
+                crude_delay: int):
+    """Fine per-utterance alignment: the summed per-frame histograms.
+    Returns (delay_samples, confidence)."""
+    hists, _ = _frame_align_hists(ref, deg, startr, endr, crude_delay)
+    if len(hists) == 0:
+        return crude_delay, 0.0
+    shift, conf = _hist_peak(np.sum(hists, axis=0))
+    if conf <= 0.0:
+        return crude_delay, 0.0
     return crude_delay + shift, conf
+
+
+MAX_UTTERANCES = 50
+
+
+def _split_align(ref: np.ndarray, deg: np.ndarray, start_sample: int,
+                 end_sample: int, delay: int):
+    """Detect a mid-utterance delay jump (the standard's split_align): build
+    the per-frame alignment histograms once, find the frame boundary that
+    maximizes the combined peak confidence of the two halves, and accept the
+    split only when both halves are individually better-peaked than the joint
+    histogram (a genuine jump splits the joint peak's mass in two) and their
+    delay estimates materially differ. Returns (split_sample, delay1, delay2)
+    or None."""
+    hists, positions = _frame_align_hists(ref, deg, start_sample, end_sample,
+                                          delay)
+    n = len(hists)
+    # each half must be a viable utterance on its own (MINUTTLENGTH)
+    min_frames = max(4, (MINUTTLENGTH * DOWNSAMPLE) // (ALIGN_NFFT // 4))
+    if n < 2 * min_frames:
+        return None
+    _, conf_all = _hist_peak(np.sum(hists, axis=0))
+    prefix = np.cumsum(hists, axis=0)
+    total = prefix[-1]
+    best = None
+    for k in range(min_frames, n - min_frames + 1):
+        left = prefix[k - 1]
+        s1, c1 = _hist_peak(left)
+        s2, c2 = _hist_peak(total - left)
+        if best is None or c1 + c2 > best[0]:
+            best = (c1 + c2, k, s1, c1, s2, c2)
+    _, k, s1, c1, s2, c2 = best
+    if c1 <= 1.1 * conf_all or c2 <= 1.1 * conf_all or min(c1, c2) <= 2.0:
+        return None
+    if abs(s1 - s2) < DOWNSAMPLE:  # < 4 ms: not a material jump
+        return None
+    return int(positions[k]), delay + s1, delay + s2
+
+
+def _split_utterances(ref: np.ndarray, deg: np.ndarray, utterances, delays):
+    """Iteratively re-split utterances whose internal delay jumps (the
+    standard's utterance_split pass). Each accepted split strictly shrinks
+    both halves, so this terminates; capped at MAX_UTTERANCES as in the
+    standard."""
+    i = 0
+    while i < len(utterances) and len(utterances) < MAX_UTTERANCES:
+        s, e = utterances[i]
+        sp = _split_align(ref, deg, s, e, delays[i])
+        if sp is None:
+            i += 1
+            continue
+        split_sample, d1, d2 = sp
+        utterances[i] = (s, split_sample)
+        delays[i] = d1
+        utterances.insert(i + 1, (split_sample, e))
+        delays.insert(i + 1, d2)
+        # stay on i: the first half may contain a further jump
+    return utterances, delays
 
 
 def _utterance_locate(ref: np.ndarray, deg: np.ndarray, n_samples: int):
     """VAD -> crude whole-signal alignment -> utterances -> per-utterance fine
-    alignment. Returns (utterances, delays) with utterances as sample spans.
-
-    NOTE: the standard additionally re-splits utterances whose internal delay
-    jumps (split realignment); that path is not implemented — time-varying
-    delay *within* an utterance is instead handled during scoring by the
-    bad-interval re-alignment in the perceptual model.
-    """
+    alignment -> re-split on mid-utterance delay jumps (utterance_split).
+    Returns (utterances, delays) with utterances as sample spans."""
     ref_vad, ref_log_vad = _apply_vad(ref, n_samples)
     deg_vad, deg_log_vad = _apply_vad(deg, n_samples)
 
@@ -279,7 +354,7 @@ def _utterance_locate(ref: np.ndarray, deg: np.ndarray, n_samples: int):
             delay = crude_samples
         utterances.append((start_sample, end_sample))
         delays.append(delay)
-    return utterances, delays
+    return _split_utterances(ref, deg, utterances, delays)
 
 
 # ------------------------------------------------------------------ stage 4
@@ -455,9 +530,9 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n_samples: int,
     frame_disturbance = np.minimum(frame_disturbance / h, 45.0)
     frame_disturbance_asym = np.minimum(frame_disturbance_asym / h, 45.0)
 
-    frame_disturbance = _bad_interval_realignment(
+    frame_disturbance, frame_disturbance_asym = _bad_interval_realignment(
         ref, deg, n_samples, frame_delay, mod_pitch_ref, comp, scales, h,
-        frame_disturbance, loud_ref,
+        frame_disturbance, loud_ref, pitch_ref, frame_disturbance_asym,
     )
 
     # long-file time weighting (uniform below ~16 s of frames)
@@ -473,15 +548,17 @@ def _psychoacoustic_model(ref: np.ndarray, deg: np.ndarray, n_samples: int,
 
 def _bad_interval_realignment(ref, deg, n_samples, frame_delay, mod_pitch_ref,
                               comp, scales, h_weight, frame_disturbance,
-                              loud_ref):
+                              loud_ref, pitch_ref, frame_disturbance_asym):
     """Re-align intervals of consecutive badly-disturbed frames and keep the
     minimum disturbance, so scoring is robust to residual time-alignment error
-    (the standard's bad-frame reprocessing; symmetric disturbance only —
-    documented simplification)."""
+    (the standard's bad-frame reprocessing). Both the symmetric and the
+    asymmetric per-frame disturbances are recomputed at the re-aligned delay
+    (the delay search itself minimizes the symmetric disturbance, as in the
+    standard)."""
     n_frames = len(frame_disturbance)
     bad = frame_disturbance > THRESHOLD_BAD_FRAMES
     if not np.any(bad):
-        return frame_disturbance
+        return frame_disturbance, frame_disturbance_asym
 
     # contiguous bad intervals of at least 5 frames
     intervals = []
@@ -520,8 +597,12 @@ def _bad_interval_realignment(ref, deg, n_samples, frame_delay, mod_pitch_ref,
             l_deg = _intensity_warping(p_deg[None, :])[0]
             d = _compute_disturbance(loud_ref[f], l_deg)
             new_dist = min(_pseudo_lp(d, D_POW_F) / h_weight[f], 45.0)
-            frame_disturbance[f] = min(frame_disturbance[f], new_dist)
-    return frame_disturbance
+            if new_dist < frame_disturbance[f]:
+                frame_disturbance[f] = new_dist
+                da = d * _asymmetry_factor(pitch_ref[f], p_deg)
+                frame_disturbance_asym[f] = min(
+                    _pseudo_lp(da, A_POW_F) / h_weight[f], 45.0)
+    return frame_disturbance, frame_disturbance_asym
 
 
 # ------------------------------------------------------------------ stage 5

@@ -201,3 +201,91 @@ def test_vbd_snr_sweep_monotone():
         scores.append(pesq_wb_native(x, x + g * n))
     assert scores == sorted(scores), scores
     assert scores[-1] > 3.0, scores  # 30 dB real-noise mixture is near-clean
+
+
+# ------------------------------------------------- mid-utterance delay jumps
+
+def _with_delay_jump(x, jump_at_s=1.5, jump_ms=20.0):
+    """Degraded copy whose delay jumps by +jump_ms at jump_at_s (samples
+    repeated at the jump point, as a transmission stall would)."""
+    cut = int(jump_at_s * FS)
+    gap = int(jump_ms * FS / 1000.0)
+    return np.concatenate([x[:cut], x[cut - gap : cut], x[cut:]])[: len(x) + gap]
+
+
+def _one_long_burst(seconds=3.5, seed=7):
+    """Aperiodic speech stand-in: one continuous 300-3400 Hz noise burst
+    (0.3 s .. seconds-0.8 s) with AM, silence elsewhere. The VAD sees a
+    SINGLE long utterance (so only split_align can recover an internal delay
+    jump), and the aperiodic carrier gives an unambiguous cross-correlation
+    peak (a harmonic complex would alias the jump onto its pitch period)."""
+    rng = np.random.default_rng(seed)
+    n_tot = int(seconds * FS)
+    t = np.arange(n_tot) / FS
+    spec = np.fft.rfft(rng.standard_normal(n_tot))
+    freqs = np.fft.rfftfreq(n_tot, 1 / FS)
+    spec[(freqs < 300) | (freqs > 3400)] = 0
+    carrier = np.fft.irfft(spec, n_tot)
+    env = ((t > 0.3) & (t < seconds - 0.8)) * (
+        0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t) ** 2)
+    x = carrier * env
+    return x / np.max(np.abs(x)) * 0.3
+
+
+def _locate(P, x, deg):
+    n = max(len(x), len(deg))
+    n_samples = n + 2 * P._BUF
+
+    def _buf(v):
+        b = np.zeros(n_samples + P.DATAPADDING)
+        b[P._BUF : P._BUF + len(v)] = v
+        return b
+
+    ref_b = P._wb_input_filter(P._fix_power_level(_buf(x), n_samples, n_samples))
+    deg_b = P._wb_input_filter(P._fix_power_level(_buf(deg), n_samples, n_samples))
+    return ref_b, deg_b, n_samples
+
+
+def test_utterance_split_detects_delay_jump():
+    """A +20 ms delay jump inside a single long utterance must be re-split
+    into utterances whose delays differ by the jump (the standard's
+    utterance_split path)."""
+    from diffse_tpu.evaluation import pesq_native as P
+
+    x = _one_long_burst()
+    deg = _with_delay_jump(x, 1.5, 20.0)
+    ref_b, deg_b, n_samples = _locate(P, x, deg)
+    spans = P._id_utterances(P._apply_vad(ref_b, n_samples)[0])
+    assert len(spans) == 1  # precondition: VAD sees one utterance
+    utts, delays = P._utterance_locate(ref_b, deg_b, n_samples)
+    assert len(utts) == 2
+    jump = int(0.020 * FS)
+    assert abs((delays[1] - delays[0]) - jump) <= P.DOWNSAMPLE, delays
+    # split point within one alignment frame of the true jump
+    true_cut = P._BUF + int(1.5 * FS)
+    assert abs(utts[0][1] - true_cut) <= P.ALIGN_NFFT // 2
+
+
+def test_utterance_split_no_false_split_on_uniform_delay():
+    """A uniformly delayed degraded signal must NOT be split."""
+    from diffse_tpu.evaluation import pesq_native as P
+
+    for mk, seed in ((_one_long_burst, 3), (_speech_like, 4)):
+        x = mk(3.5, seed)
+        deg = np.concatenate([np.zeros(int(0.030 * FS)), x])
+        ref_b, deg_b, n_samples = _locate(P, x, deg)
+        utts, delays = P._utterance_locate(ref_b, deg_b, n_samples)
+        spans = P._id_utterances(P._apply_vad(ref_b, n_samples)[0])
+        assert len(utts) == len(spans)  # split pass added nothing
+        for d in delays:
+            assert abs(d - int(0.030 * FS)) <= P.DOWNSAMPLE
+
+
+def test_delay_jump_scores_better_with_split():
+    """Scoring a delay-jumped but otherwise clean signal must not collapse:
+    the split machinery realigns the post-jump half (measured: 4.58 MOS with
+    the split vs 2.75 with it disabled)."""
+    x = _one_long_burst(seed=5)
+    deg = _with_delay_jump(x, 1.5, 20.0)
+    mos = pesq_wb_native(x, deg)
+    assert mos > 4.0, mos

@@ -69,13 +69,65 @@ def ddpm_conv(features: int, kernel: int, init_scale: float = 1.0, stride: int =
     )
 
 
+class MatmulConv(nn.Module):
+    """Stride-1 SAME conv that lowers to ONE im2col matmul when the spatial
+    map is small (``H*W <= max_hw``), falling back to the normal XLA conv
+    otherwise.
+
+    Param-compatible with ``nn.Conv`` (same ``kernel``/``bias`` names and
+    HWIO kernel shape), so checkpoints and the torch converter are unaffected
+    by the flag. Rationale: at the deep U-Net levels the feature maps shrink
+    to a few rows (e.g. 4x1 spatial at T=64) where the TPU conv emitter's
+    tiling is dominated by padding; an explicit ``[B*H*W, k*k*C] @
+    [k*k*C, O]`` matmul presents the whole level as one well-shaped MXU op.
+    """
+
+    features: int
+    kernel_size: int = 3
+    init_scale: float = 1.0
+    dtype: Optional[Any] = None
+    max_hw: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ksz = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", default_init(self.init_scale),
+            (ksz, ksz, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        k = kernel.astype(x.dtype)
+        b, h, w, c = x.shape
+        if ksz == 1 or h * w > self.max_hw:
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            p = ksz // 2
+            xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+            patches = jnp.concatenate(
+                [xp[:, dh:dh + h, dw:dw + w, :]
+                 for dh in range(ksz) for dw in range(ksz)], axis=-1,
+            ).reshape(b * h * w, ksz * ksz * c)
+            y = (patches @ k.reshape(ksz * ksz * c, self.features)).reshape(
+                b, h, w, self.features)
+        return y + bias.astype(y.dtype)
+
+
 def conv1x1(features: int, init_scale: float = 1.0, name: Optional[str] = None,
             dtype=None) -> nn.Conv:
     return ddpm_conv(features, 1, init_scale=init_scale, name=name, dtype=dtype)
 
 
 def conv3x3(features: int, init_scale: float = 1.0, name: Optional[str] = None,
-            dtype=None) -> nn.Conv:
+            dtype=None, matmul_max_hw: int = 0):
+    if matmul_max_hw:
+        return MatmulConv(features, 3, init_scale=init_scale, dtype=dtype,
+                          max_hw=matmul_max_hw, name=name)
     return ddpm_conv(features, 3, init_scale=init_scale, name=name, dtype=dtype)
 
 
@@ -361,10 +413,22 @@ class ResnetBlockDDPMpp(nn.Module):
         return (x + h) / math.sqrt(2.0)
 
 
-def _conv_nhwc(x, w, dtype, strides=(1, 1)):
+def _conv_nhwc(x, w, dtype, strides=(1, 1), matmul_max_hw=0):
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
+    w = w.astype(x.dtype)
+    b, h, wd, c = x.shape
+    ksz = w.shape[0]
+    if (matmul_max_hw and h * wd <= matmul_max_hw and ksz > 1
+            and strides == (1, 1)):
+        p = ksz // 2
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        patches = jnp.concatenate(
+            [xp[:, dh:dh + h, dw:dw + wd, :]
+             for dh in range(ksz) for dw in range(ksz)], axis=-1,
+        ).reshape(b * h * wd, ksz * ksz * c)
+        return (patches @ w.reshape(ksz * ksz * c, w.shape[-1])).reshape(
+            b, h, wd, w.shape[-1])
     return jax.lax.conv_general_dilated(
         x, w, strides, "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
@@ -399,6 +463,9 @@ class ResnetBlockBigGANpp(nn.Module):
     # Use the fused Pallas GroupNorm+SiLU kernel for the two norm+act pairs
     # (only valid when `act` is SiLU/swish; param tree is unchanged).
     pallas_gn_silu: bool = False
+    # Lower stride-1 3x3 convs to a single im2col matmul when the spatial
+    # map has at most this many positions (0 = never; see MatmulConv).
+    matmul_conv_max_hw: int = 0
 
     def _gn_act(self, h, channels, name):
         if self.pallas_gn_silu:
@@ -505,7 +572,8 @@ class ResnetBlockBigGANpp(nn.Module):
                 h = naive_downsample_2d(h, factor=2)
                 x = naive_downsample_2d(x, factor=2)
 
-        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype)(h)
+        h = conv3x3(out_ch, name="Conv_0", dtype=self.dtype,
+                    matmul_max_hw=self.matmul_conv_max_hw)(h)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -516,7 +584,9 @@ class ResnetBlockBigGANpp(nn.Module):
                           name="Dense_1")(self.act(semb))[:, None, None, :]
         h = self._gn_act(h, out_ch, "GroupNorm_1")
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=self.dtype)(h)
+        h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
+                    dtype=self.dtype,
+                    matmul_max_hw=self.matmul_conv_max_hw)(h)
 
         if in_ch != out_ch or self.up or self.down:
             x = conv1x1(out_ch, name="Conv_2", dtype=self.dtype)(x)
@@ -575,8 +645,10 @@ class ResnetBlockBigGANpp(nn.Module):
         h2 = norm_act(x2, a_c[:, c1:], b_c[:, c1:])
 
         w0, b0 = _ConvParams(3, in_ch, out_ch, name="Conv_0")()
-        h = (_conv_nhwc(h1, w0[:, :, :c1, :], self.dtype)
-             + _conv_nhwc(h2, w0[:, :, c1:, :], self.dtype))
+        h = (_conv_nhwc(h1, w0[:, :, :c1, :], self.dtype,
+                        matmul_max_hw=self.matmul_conv_max_hw)
+             + _conv_nhwc(h2, w0[:, :, c1:, :], self.dtype,
+                          matmul_max_hw=self.matmul_conv_max_hw))
         h = h + b0.astype(h.dtype)
         if temb is not None:
             h += nn.Dense(out_ch, kernel_init=default_init(),
@@ -589,7 +661,8 @@ class ResnetBlockBigGANpp(nn.Module):
         h = self._gn_act(h, out_ch, "GroupNorm_1")
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
-                    dtype=self.dtype)(h)
+                    dtype=self.dtype,
+                    matmul_max_hw=self.matmul_conv_max_hw)(h)
 
         if in_ch != out_ch:
             w2, b2 = _ConvParams(1, in_ch, out_ch, name="Conv_2")()

@@ -75,6 +75,12 @@ class NCSNppBase(nn.Module):
     # reference off-TPU or on unsupported shapes. Param names match the
     # unfused path exactly.
     fuse_pyramid: bool = False
+    # Lower stride-1 3x3 resblock convs whose spatial map has at most this
+    # many positions to a single im2col matmul (layers.MatmulConv) instead of
+    # lax.conv — the deep U-Net levels (e.g. 4x1 at T=64) are too small for
+    # the conv emitter's tiling. 0 = always use lax.conv. Param tree is
+    # unchanged either way.
+    matmul_conv_max_hw: int = 0
 
     @property
     def _compute_dtype(self):
@@ -98,6 +104,7 @@ class NCSNppBase(nn.Module):
                 dtype=self._compute_dtype,
                 pallas_gn_silu=(self.use_pallas_groupnorm
                                 and self.nonlinearity == "swish"),
+                matmul_conv_max_hw=self.matmul_conv_max_hw,
             )
         raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 

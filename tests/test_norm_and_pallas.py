@@ -276,3 +276,54 @@ class TestFusedGNSiLUConv:
         ref = self._flax_chain(x, gs, gb, wk, bt)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_ncsnpp_matmul_conv_flag_parity():
+    """matmul_conv_max_hw (im2col-matmul lowering of small-spatial stride-1
+    3x3 convs, layers.MatmulConv) must leave the param tree unchanged and
+    match the lax.conv path numerically — both in the standard resblock path
+    and in the concat-free up-path (_call_split split convs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models.ncsnpp import NCSNpp
+
+    # Two levels + num_res_blocks=1 exercises down, middle and the
+    # virtual-concat up path; max_hw large enough to hit EVERY level so the
+    # matmul formulation (not the fallback) is what's being tested.
+    cfg = dict(nf=16, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+               image_size=16)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray((rng.standard_normal((2, 2, 16, 16))
+                     + 1j * rng.standard_normal((2, 2, 16, 16))).astype(np.complex64))
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+
+    base = NCSNpp(**cfg)
+    mm = NCSNpp(**cfg, matmul_conv_max_hw=1024)
+    v = base.init(jax.random.PRNGKey(0), x, t)
+    v_mm = mm.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v_mm)
+
+    o_base = np.asarray(base.apply(v, x, t))
+    o_mm = np.asarray(mm.apply(v, x, t))
+    np.testing.assert_allclose(o_mm, o_base, rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_conv_vs_lax_conv_direct():
+    """MatmulConv's im2col matmul equals lax.conv SAME for odd kernels, and
+    the fallback branch (h*w > max_hw) takes the lax path bit-identically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.models.layers import MatmulConv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 4, 6, 8)).astype(np.float32))
+    m_on = MatmulConv(features=16, kernel_size=3, max_hw=64)
+    m_off = MatmulConv(features=16, kernel_size=3, max_hw=0)
+    v = m_on.init(jax.random.PRNGKey(1), x)
+    y_on = np.asarray(m_on.apply(v, x))
+    y_off = np.asarray(m_off.apply(v, x))
+    np.testing.assert_allclose(y_on, y_off, rtol=1e-5, atol=1e-5)

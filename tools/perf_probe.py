@@ -24,7 +24,14 @@ def main():
     extra_kwargs = {}
     for kv in sys.argv[5:]:
         k, v = kv.split("=")
-        extra_kwargs[k] = {"true": True, "false": False}.get(v, v)
+        if v in ("true", "false"):
+            v = v == "true"
+        elif not k.startswith("copt:"):
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        extra_kwargs[k] = v
 
     import jax
 

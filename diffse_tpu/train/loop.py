@@ -69,15 +69,22 @@ def train_score_model(
     log_every_n_steps: int = 10,
     resume: bool = False,
     max_steps_per_epoch: Optional[int] = None,
+    variables=None,
 ):
-    """Train a ScoreModel; returns the final TrainState."""
+    """Train a ScoreModel; returns the final TrainState.
+
+    `variables` lets the caller pass pre-initialized backbone variables
+    (e.g. initialized on the host CPU backend to avoid a large one-off
+    on-device init compile); default None initializes from `seed`.
+    """
     cfg = model.cfg
     logger = logger or MetricsLogger()
     data_module.setup("fit")
 
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
-    variables = model.init_variables(init_key)
+    if variables is None:
+        variables = model.init_variables(init_key)
 
     optimizer = optax.adam(cfg.lr)
     state = create_train_state(variables, optimizer)

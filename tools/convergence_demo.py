@@ -40,14 +40,23 @@ def main(argv=None):
                              "or sebridge_v2 (1-NFE consistency: direct "
                              "clean-spec regression, the branch where toy-"
                              "scale training CAN show a sampler-quality gain)")
+    parser.add_argument("--platform", type=str, default="cpu",
+                        help="'cpu' (default, forces the CPU backend) or "
+                             "'ambient' (run on whatever JAX_PLATFORMS says — "
+                             "e.g. the real TPU; params still init on host)")
+    parser.add_argument("--nf", type=int, default=16,
+                        help="backbone width (16 = CPU toy; 64+ = TPU scale)")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--duration_s", type=float, default=1.2)
     args = parser.parse_args(argv)
 
     import jax
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    if args.platform == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     import numpy as np
 
@@ -66,7 +75,7 @@ def main(argv=None):
     data_root = os.path.join(work, "data")
     print(f"[demo] synthetic dataset -> {data_root}")
     make_synthetic_dataset(data_root, num_train=args.num_train, num_valid=6,
-                           num_valid2=4, num_test=4, duration_s=1.2)
+                           num_valid2=4, num_test=4, duration_s=args.duration_s)
 
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type=args.model_type,
@@ -74,15 +83,17 @@ def main(argv=None):
         sigma_max=0.5 if args.model_type == "bbed" else 1.0,
         num_frames=64, num_eval_files=0,
     )
-    backbone = dict(nf=16, ch_mult=(1, 1, 2), num_res_blocks=1,
+    backbone = dict(nf=args.nf, ch_mult=(1, 1, 2), num_res_blocks=1,
                     attn_resolutions=(64,), image_size=256)
+    if args.platform != "cpu":
+        backbone["dtype"] = "bf16"  # production TPU trunk dtype
     model = ScoreModel(
         cfg, backbone_kwargs=backbone,
         sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
     )
     dm = SpecsDataModule(DataModuleConfig(
-        base_dir=data_root, batch_size=4, num_frames=cfg.num_frames,
-        num_workers=1, fixed_snr=cfg.fixed_snr,
+        base_dir=data_root, batch_size=args.batch_size,
+        num_frames=cfg.num_frames, num_workers=1, fixed_snr=cfg.fixed_snr,
     ))
 
     def quality(variables):
@@ -120,7 +131,16 @@ def main(argv=None):
 
     t0 = time.time()
     key = jax.random.PRNGKey(0)
-    variables0 = model.init_variables(key)
+    if args.platform == "cpu":
+        variables0 = model.init_variables(key)
+    else:
+        # Init params on the host CPU backend and ship them over — avoids a
+        # large one-off on-chip init compile (DEVNOTES round 1: ~86 s saved
+        # for the 65M init; the CPU backend coexists with the TPU client).
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu0):
+            variables0 = model.init_variables(jax.device_put(key, cpu0))
+        variables0 = jax.device_put(variables0, jax.devices()[0])
     vl0 = valid_loss(variables0)
     print(f"[demo] untrained valid DSM loss: {vl0:.1f}")
     q0 = quality(variables0)
@@ -132,6 +152,7 @@ def main(argv=None):
         ckpt_dir=os.path.join(work, "ckpts"),
         logger=MetricsLogger(log_dir=work),
         use_mesh=False, max_steps_per_epoch=args.steps_per_epoch,
+        variables=variables0,
     )
     ev = eval_variables(state)
     vl1 = valid_loss(ev)

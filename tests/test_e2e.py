@@ -93,6 +93,33 @@ def test_e2e_train_validate_checkpoint_enhance(dataset, tmp_path):
     assert nfe == 1 and rtf > 0
 
 
+def test_train_loop_accepts_preinitialized_variables(dataset):
+    """train_score_model(variables=...) must use the injected tree verbatim
+    (the host-CPU-init path used for large models on the TPU bridge)."""
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
+        snr_conditioned="false", sigma_max=1.0, num_frames=64,
+        num_eval_files=0,
+    )
+    model = ScoreModel(
+        cfg, backbone_kwargs=E2E_BACKBONE,
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+    )
+    dm = SpecsDataModule(DataModuleConfig(
+        base_dir=dataset, batch_size=2, num_frames=64, num_workers=1,
+    ))
+    variables0 = model.init_variables(jax.random.PRNGKey(123))
+    state = train_score_model(
+        model, dm, max_epochs=1, ckpt_dir=None, logger=MetricsLogger(),
+        use_mesh=False, max_steps_per_epoch=0, variables=variables0,
+    )
+    assert int(state.step) == 0
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.variables["params"], variables0["params"],
+    )
+
+
 @pytest.mark.slow
 def test_e2e_snr_estimator_training(dataset, tmp_path):
     from diffse_tpu.models.snr_model import SNRModel, SNRModelConfig

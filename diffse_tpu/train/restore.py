@@ -23,9 +23,19 @@ def _restore_state(mgr: CheckpointManager, model, step: Optional[int],
                    monitor: Optional[str], mode: str) -> TrainState:
     if step is None and monitor is not None:
         step = mgr.best_step(monitor, mode=mode)
-    variables = model.init_variables(jax.random.PRNGKey(0))
+    # Build the restore target abstractly: eval_shape traces the init +
+    # optimizer-state construction without executing anything, and the
+    # target tree is host numpy zeros. This keeps restore completely off
+    # the accelerator (no init compile, no device->host fetch — the fetch
+    # path is also fragile over the axon TPU bridge).
+    key_spec = jax.ShapeDtypeStruct((2,), np.uint32)
+    abstract = jax.eval_shape(
+        lambda k: create_train_state(model.init_variables(k),
+                                     optax.adam(model.cfg.lr)),
+        key_spec,
+    )
     target = jax.tree_util.tree_map(
-        np.asarray, create_train_state(variables, optax.adam(model.cfg.lr))
+        lambda s: np.zeros(s.shape, s.dtype), abstract
     )
     return mgr.restore(target, step=step)
 

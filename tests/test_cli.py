@@ -174,3 +174,53 @@ def test_eval_cli_streaming(dataset, tmp_path):
     df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
     assert len(df) == 2
     assert np.isfinite(df["si_sdr"]).all()
+
+
+@pytest.mark.slow
+def test_snr_adaptive_workflow_cli(dataset, tmp_path):
+    """The full SNR-aligned workflow through the CLIs (README steps 2-4):
+    train the SNR estimator, train sebridge_v3 + snr_conditioned=true with
+    --snr_ckpt injected (in-training validation runs the estimator-driven
+    1-NFE inference branch), then eval with --snr_ckpt (estimated SNR)."""
+    from diffse_tpu.cli.train_snr_est import main as snr_main
+
+    snr_dir = str(tmp_path / "snr")
+    snr_main([
+        "--base_dir", dataset, "--transform_type", "none",
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1",
+        "--ckpt_dir", snr_dir, "--no_mesh",
+    ])
+
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "v3snr")
+    main([
+        "--backbone", "ncsnpp", "--modeltype", "sebridge_v3",
+        "--snr_conditioned", "true", "--fixed_snr", "0.17783",
+        "--sigma-max", "1.0", "--transform_type", "exponent",
+        "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1",
+        "--num_eval_files", "1", "--snr_ckpt", snr_dir,
+        "--ckpt_dir", ckpt_dir, "--no_mesh",
+        *TINY_ARGS,
+    ])
+    with open(os.path.join(ckpt_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert np.isfinite(meta["0"]["pesq"])  # estimator-driven validation ran
+
+    from diffse_tpu.cli.eval import main as eval_main
+
+    out_dir = str(tmp_path / "eval_est_snr")
+    eval_main([
+        "--destination_folder", out_dir,
+        "--test_dir", os.path.join(dataset, "test"),
+        "--ckpt", ckpt_dir,
+        "--snr_ckpt", snr_dir,
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["si_sdr"]).all()

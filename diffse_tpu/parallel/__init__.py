@@ -6,6 +6,16 @@ from .mesh import (
     replicate,
     initialize_distributed,
 )
+from .model_sharding import (
+    make_2d_mesh,
+    leaf_partition_spec,
+    tree_shardings,
+    shard_tree,
+    shard_state,
+    shard_variables,
+    state_shardings,
+    variables_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +24,12 @@ __all__ = [
     "shard_batch",
     "replicate",
     "initialize_distributed",
+    "make_2d_mesh",
+    "leaf_partition_spec",
+    "tree_shardings",
+    "shard_tree",
+    "shard_state",
+    "shard_variables",
+    "state_shardings",
+    "variables_shardings",
 ]

@@ -31,6 +31,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     preprocess: Optional[Callable] = None,
+    state_sharding=None,
 ) -> Callable:
     """Build the jitted train step for a ScoreModel/SNRModel-like object
     exposing ``loss_fn(variables, batch, key, train=True) -> (loss, updates)``.
@@ -75,15 +76,20 @@ def make_train_step(
 
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    # state_sharding (e.g. parallel.model_sharding.state_shardings for a 2-D
+    # data x model mesh) overrides the replicated default: params/EMA/moments
+    # live sharded on the 'model' axis and GSPMD places the collectives.
+    ssh = rep if state_sharding is None else state_sharding
     return jax.jit(
         step_fn,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(ssh, bsh, rep),
+        out_shardings=(ssh, rep),
         donate_argnums=(0,) if donate else (),
     )
 
 
-def make_eval_step(model, mesh=None, preprocess: Optional[Callable] = None) -> Callable:
+def make_eval_step(model, mesh=None, preprocess: Optional[Callable] = None,
+                   variables_sharding=None) -> Callable:
     """Validation loss step (no grads, EMA-agnostic: pass desired variables)."""
 
     def step_fn(variables, batch, key: jax.Array):
@@ -96,7 +102,8 @@ def make_eval_step(model, mesh=None, preprocess: Optional[Callable] = None) -> C
         return jax.jit(step_fn)
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(step_fn, in_shardings=(rep, bsh, rep), out_shardings=rep)
+    vsh = rep if variables_sharding is None else variables_sharding
+    return jax.jit(step_fn, in_shardings=(vsh, bsh, rep), out_shardings=rep)
 
 
 # The SNR estimator shares the generic step machinery.

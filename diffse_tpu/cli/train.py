@@ -92,6 +92,10 @@ def add_trainer_args(group):
     group.add_argument("--seed", type=int, default=0)
     group.add_argument("--no_mesh", action="store_true",
                        help="Disable data-parallel mesh (single device)")
+    group.add_argument("--tp_size", type=int, default=1,
+                       help="Tensor-parallel degree: >1 trains over a 2-D "
+                            "(data, model) mesh with kernels sharded on "
+                            "out-features (parallel/model_sharding.py)")
     group.add_argument("--wandb", action="store_true")
     group.add_argument("--snr_ckpt", type=str, default=None,
                        help="SNR-estimator checkpoint dir (for snr_conditioned=true eval)")
@@ -195,6 +199,7 @@ def main(argv=None):
         use_mesh=not args.no_mesh,
         resume=args.resume,
         max_steps_per_epoch=args.max_steps_per_epoch,
+        tp_size=args.tp_size,
     )
 
 

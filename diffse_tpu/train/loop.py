@@ -31,14 +31,29 @@ from .steps import make_eval_step, make_train_step
 DEEP_INFERENCE_EVERY_EPOCH = 10
 
 
-def _maybe_mesh(use_mesh: bool, batch_size: int):
+def _maybe_mesh(use_mesh: bool, batch_size: int, tp_size: int = 1):
     """Data-parallel mesh if requested, more than one device exists, and the
-    batch divides evenly over the devices (sharding requires divisibility)."""
+    batch divides evenly over the data axis (sharding requires divisibility).
+    tp_size > 1 builds a 2-D (data, model) mesh instead: the model axis
+    carries tensor-parallel kernel shards (parallel/model_sharding.py)."""
     if not use_mesh:
         return None
     n = len(jax.devices())
     if n <= 1:
         return None
+    if tp_size > 1:
+        from ..parallel.model_sharding import make_2d_mesh
+
+        if n % tp_size != 0:
+            print(f"warning: {n} devices not divisible by tp_size {tp_size}; "
+                  "running without sharding")
+            return None
+        n_data = n // tp_size
+        if batch_size % n_data != 0:
+            print(f"warning: batch_size {batch_size} not divisible by the "
+                  f"{n_data}-way data axis; running without sharding")
+            return None
+        return make_2d_mesh(n_data, tp_size)
     if batch_size % n != 0:
         print(f"warning: batch_size {batch_size} not divisible by {n} devices; "
               "running without data-parallel sharding")
@@ -70,12 +85,15 @@ def train_score_model(
     resume: bool = False,
     max_steps_per_epoch: Optional[int] = None,
     variables=None,
+    tp_size: int = 1,
 ):
     """Train a ScoreModel; returns the final TrainState.
 
     `variables` lets the caller pass pre-initialized backbone variables
     (e.g. initialized on the host CPU backend to avoid a large one-off
     on-device init compile); default None initializes from `seed`.
+    `tp_size` > 1 trains tensor-parallel over a 2-D (data, model) mesh
+    (beyond the reference's DP-only scaling; parallel/model_sharding.py).
     """
     cfg = model.cfg
     logger = logger or MetricsLogger()
@@ -89,10 +107,16 @@ def train_score_model(
     optimizer = optax.adam(cfg.lr)
     state = create_train_state(variables, optimizer)
 
-    mesh = _maybe_mesh(use_mesh, data_module.cfg.batch_size)
+    mesh = _maybe_mesh(use_mesh, data_module.cfg.batch_size, tp_size)
+    state_sharding = None
+    if mesh is not None and "model" in mesh.axis_names:
+        from ..parallel.model_sharding import state_shardings
+
+        state_sharding = state_shardings(mesh, state)
     train_step = make_train_step(
         model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
         preprocess=model.prepare_batch, donate=True,
+        state_sharding=state_sharding,
     )
     valid_step = make_eval_step(model, preprocess=model.prepare_batch)
 
@@ -110,7 +134,10 @@ def train_score_model(
             state = ckpt_mgr.restore(state)
 
     if mesh is not None:
-        state = replicate(mesh, state)
+        if state_sharding is not None:
+            state = jax.tree_util.tree_map(jax.device_put, state, state_sharding)
+        else:
+            state = replicate(mesh, state)
 
     mt = eval_model_type(cfg.snr_conditioned, cfg.model_type)
     start_epoch = 0

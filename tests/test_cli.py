@@ -224,3 +224,24 @@ def test_snr_adaptive_workflow_cli(dataset, tmp_path):
     df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
     assert len(df) == 2
     assert np.isfinite(df["si_sdr"]).all()
+
+
+@pytest.mark.slow
+def test_train_cli_tensor_parallel(dataset, tmp_path):
+    """--tp_size 2 trains over a (4, 2) data x model mesh on the 8 virtual
+    devices; the checkpointed params must be finite and gatherable."""
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "tp_run")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "4", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--tp_size", "2", "--seed", "0",
+        *TINY_ARGS,
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "metadata.json"))
+    with open(os.path.join(ckpt_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert np.isfinite(meta["0"]["valid_loss"])

@@ -494,7 +494,8 @@ class ScoreModel:
         return est_gt / (1 - est_gt)
 
     def _enhance_jit(self, branch: str, t_pad: int, n_steps: int, predictor: str,
-                     corrector: str, corrector_steps: int, oracle: bool):
+                     corrector: str, corrector_steps: int, oracle: bool,
+                     seq_mesh=None):
         """Build (and cache) the jitted end-to-end enhancement function for a
         given branch and padded width: normalize -> STFT -> sample -> iSTFT,
         all one XLA program.
@@ -503,9 +504,20 @@ class ScoreModel:
         (it only enters corrector arithmetic), so one compile serves snr
         sweeps — important on backends where a 65M-param compile costs
         minutes. ``corrector_steps`` stays a cache key: it changes program
-        structure."""
+        structure.
+
+        With ``seq_mesh`` (a 1-D ``Mesh`` over a ``seq`` axis,
+        ``parallel.sequence.make_seq_mesh``), the spectrogram's frames axis is
+        sharding-constrained over the mesh right after the STFT; GSPMD then
+        partitions the whole U-Net/sampler program (conv halos + attention
+        all-gathers over ICI) from that one annotation. Semantics-preserving:
+        outputs match the single-device program to float tolerance."""
+        mesh_key = None
+        if seq_mesh is not None:
+            mesh_key = (seq_mesh.axis_names, seq_mesh.devices.shape,
+                        tuple(d.id for d in seq_mesh.devices.flat))
         cache_key = (branch, t_pad, n_steps, predictor, corrector,
-                     corrector_steps, oracle)
+                     corrector_steps, oracle, mesh_key)
         if cache_key in self._enhance_cache:
             return self._enhance_cache[cache_key]
 
@@ -519,6 +531,10 @@ class ScoreModel:
             X = self._forward_transform(self._stft(x))[:, None]
             Y = pad_spec(Y)
             X = pad_spec(X)
+            if seq_mesh is not None:
+                from ..parallel.sequence import constrain_frames
+                X = constrain_frames(X, seq_mesh)
+                Y = constrain_frames(Y, seq_mesh)
             return X, Y
 
         def fn(variables, x_wav, y_wav, key, est_snr, snr):
@@ -603,6 +619,7 @@ class ScoreModel:
         oracle: bool = False,
         clean_rms: float = 1.0,
         noise_rms: float = 1.0,
+        seq_mesh=None,
         **ignored_kwargs,
     ):
         """One-call speech enhancement of noisy speech `y` (model.py:702-839).
@@ -610,6 +627,9 @@ class ScoreModel:
         Args:
             x, y: clean/noisy waveforms ``[1, T_samples]`` (x is only used by
                 branches that reference it; pass y twice if unavailable).
+            seq_mesh: optional 1-D ``Mesh`` over a ``seq`` axis
+                (``parallel.sequence.make_seq_mesh``): shard the spectrogram
+                frames across devices for single-utterance scale-out.
         Returns:
             numpy enhanced waveform [T_samples]; with timeit=True a tuple
             (x_hat, nfe, rtf).
@@ -670,7 +690,8 @@ class ScoreModel:
             y = y[..., :pad_samples]
 
         fn = self._enhance_jit(
-            branch, t_pad, N, predictor, corrector, corrector_steps, oracle
+            branch, t_pad, N, predictor, corrector, corrector_steps, oracle,
+            seq_mesh=seq_mesh,
         )
         x_hat, nfe = fn(
             variables, x, y, key, est_snr, jnp.asarray(snr, dtype=jnp.float32)

@@ -6,6 +6,11 @@ from .mesh import (
     replicate,
     initialize_distributed,
 )
+from .sequence import (
+    make_seq_mesh,
+    spec_seq_sharding,
+    constrain_frames,
+)
 from .model_sharding import (
     make_2d_mesh,
     leaf_partition_spec,
@@ -24,6 +29,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "initialize_distributed",
+    "make_seq_mesh",
+    "spec_seq_sharding",
+    "constrain_frames",
     "make_2d_mesh",
     "leaf_partition_spec",
     "tree_shardings",

@@ -74,6 +74,13 @@ def main(argv=None):
                              "utterance, overlapped frame chunks with real "
                              "boundary context, device-side crossfade OLA + "
                              "single iSTFT. 'wav': per-chunk waveform path")
+    parser.add_argument("--seq_shards", type=int, default=0,
+                        help="If > 0, shard each utterance's spectrogram "
+                             "frames over a 1-D 'seq' mesh of that many "
+                             "devices (sequence-parallel enhancement; "
+                             "parallel/sequence.py). Single-utterance path "
+                             "only (incompatible with --eval_batch_size > 1 "
+                             "and --streaming_chunk_frames)")
     args = parser.parse_args(argv)
 
     import jax
@@ -124,6 +131,15 @@ def main(argv=None):
     noisy_files = sorted(glob.glob(f"{noisy_dir}/*.wav"))
     target_dir = args.destination_folder
     os.makedirs(join(target_dir, "all"), exist_ok=True)
+
+    seq_mesh = None
+    if args.seq_shards:
+        if args.eval_batch_size > 1 or args.streaming_chunk_frames:
+            parser.error("--seq_shards requires the single-utterance path "
+                         "(no --eval_batch_size > 1 / --streaming_chunk_frames)")
+        from ..parallel import make_seq_mesh
+
+        seq_mesh = make_seq_mesh(n_seq=args.seq_shards)
 
     data = {"filename": [], "pesq": [], "si_sdr": [], "estoi": []}
     _pesq_sum = 0.0
@@ -211,6 +227,7 @@ def main(argv=None):
             corrector=args.corrector, corrector_steps=args.corrector_steps,
             N=N, snr=args.snr, atol=args.atol, rtol=args.rtol,
             timestep_type=args.timestep_type, oracle=args.oracle,
+            seq_mesh=seq_mesh,
         )
         if args.oracle:
             kwargs.update(clean_rms=clean_rms[cnt], noise_rms=noise_rms[cnt])

@@ -115,6 +115,46 @@ def test_eval_cli_batched(dataset, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_seq_parallel(dataset, tmp_path):
+    """Sequence-parallel eval path (--seq_shards): frames sharded over a
+    4-device 'seq' mesh of the virtual CPU devices."""
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "runsq")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--no_mesh",
+        *TINY_ARGS,
+    ])
+    from diffse_tpu.cli.eval import main as eval_main
+
+    out_dir = str(tmp_path / "eval_seq")
+    eval_main([
+        "--destination_folder", out_dir,
+        "--test_dir", os.path.join(dataset, "test"),
+        "--ckpt", ckpt_dir,
+        "--seq_shards", "4",
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["si_sdr"]).all()
+
+    # Incompatible with the batched path: argparse error, not silent fallback.
+    with pytest.raises(SystemExit):
+        eval_main([
+            "--destination_folder", str(tmp_path / "eval_seq_bad"),
+            "--test_dir", os.path.join(dataset, "test"),
+            "--ckpt", ckpt_dir,
+            "--seq_shards", "4", "--eval_batch_size", "2",
+        ])
+
+
+@pytest.mark.slow
 def test_deep_eval_cli_smoke(dataset, tmp_path):
     from diffse_tpu.cli.train import main
 

@@ -60,6 +60,9 @@ def main(argv=None):
                              "normalization is preserved)")
     parser.add_argument("--streaming_chunk_frames", type=int, default=0,
                         help="If > 0 (multiple of 64), enhance via overlap-chunked "
+                             "streaming; combined with --eval_batch_size > 1, "
+                             "chunks are pooled across utterances into fixed-"
+                             "shape hot batches (packed fleet serving). "
                              "streaming: ONE compiled width bucket serves every "
                              "utterance length (evaluation/streaming.py)")
     parser.add_argument("--streaming_overlap_frames", type=int, default=2,
@@ -146,9 +149,17 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
 
     if args.eval_batch_size > 1:
-        # Bucketed batched evaluation (production-serving path).
+        # Bucketed batched evaluation (production-serving path); combined
+        # with --streaming_chunk_frames, chunks are pooled ACROSS utterances
+        # into fixed-shape batches of the hot chunk program (fleet serving,
+        # evaluation/streaming.py:enhance_streamed_packed).
         from ..evaluation.batch_eval import batch_enhance
         from ..train.loop import eval_model_type
+
+        if args.streaming_chunk_frames and args.streaming_mode != "spec":
+            parser.error("packed streaming (--eval_batch_size > 1 with "
+                         "--streaming_chunk_frames) supports "
+                         "--streaming_mode spec only")
 
         mt = eval_model_type(model.cfg.snr_conditioned, model.cfg.model_type)
         xs, ys, names = [], [], []
@@ -162,9 +173,19 @@ def main(argv=None):
         est_snrs = None
         if mt.endswith("_snr"):
             est_snrs = [float(model.estimate_snr(jnp.asarray(y)[None])[0]) for y in ys]
-        outs = batch_enhance(model, variables, xs, ys, mt, key,
-                             batch_size=args.eval_batch_size, est_snrs=est_snrs,
-                             fixed_snr=model.cfg.fixed_snr)
+        if args.streaming_chunk_frames:
+            from ..evaluation.streaming import enhance_streamed_packed
+
+            outs = enhance_streamed_packed(
+                model, variables, ys, mt, key,
+                chunk_frames=args.streaming_chunk_frames,
+                overlap_frames=args.streaming_overlap_frames,
+                batch_size=args.eval_batch_size, x_wavs=xs,
+                est_snrs=est_snrs, fixed_snr=model.cfg.fixed_snr)
+        else:
+            outs = batch_enhance(model, variables, xs, ys, mt, key,
+                                 batch_size=args.eval_batch_size, est_snrs=est_snrs,
+                                 fixed_snr=model.cfg.fixed_snr)
         for filename, x1, x_hat in zip(names, xs, outs):
             write_wav(join(target_dir, "all", filename), x_hat, sr)
             p = pesq_wb(sr, x1, x_hat)

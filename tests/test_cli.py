@@ -115,6 +115,48 @@ def test_eval_cli_batched(dataset, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_cli_packed_streaming(dataset, tmp_path):
+    """Packed fleet serving (--eval_batch_size > 1 + --streaming_chunk_frames):
+    chunks pooled across utterances into fixed-shape hot batches."""
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "runp")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--no_mesh",
+        *TINY_ARGS,
+    ])
+    from diffse_tpu.cli.eval import main as eval_main
+
+    out_dir = str(tmp_path / "eval_packed")
+    eval_main([
+        "--destination_folder", out_dir,
+        "--test_dir", os.path.join(dataset, "test"),
+        "--ckpt", ckpt_dir,
+        "--eval_batch_size", "2",
+        "--streaming_chunk_frames", "64",
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(out_dir, "_results.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["si_sdr"]).all()
+
+    # wav-mode packed streaming does not exist: argparse error.
+    with pytest.raises(SystemExit):
+        eval_main([
+            "--destination_folder", str(tmp_path / "eval_packed_bad"),
+            "--test_dir", os.path.join(dataset, "test"),
+            "--ckpt", ckpt_dir,
+            "--eval_batch_size", "2",
+            "--streaming_chunk_frames", "64", "--streaming_mode", "wav",
+        ])
+
+
+@pytest.mark.slow
 def test_eval_cli_seq_parallel(dataset, tmp_path):
     """Sequence-parallel eval path (--seq_shards): frames sharded over a
     4-device 'seq' mesh of the virtual CPU devices."""

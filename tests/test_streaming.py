@@ -313,3 +313,63 @@ def test_spec_streaming_beats_wav_streaming_agreement():
     for ov in spec_agr:
         assert spec_agr[ov] > wav_agr[ov] - 1.0, (spec_agr, wav_agr)
     assert spec_agr[16] > 5.0, spec_agr
+
+
+def test_packed_matches_per_utterance_spec_streaming(rng):
+    """Cross-utterance packed serving must produce the same waveforms as the
+    per-utterance spec-domain path on a deterministic branch (no sampler
+    noise), across mixed lengths and batch geometries that split one
+    utterance's chunks across hot batches."""
+    from diffse_tpu.evaluation.streaming import (
+        enhance_streamed_packed,
+        enhance_streamed_spec,
+    )
+
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", model_type="sebridge",
+                           snr_conditioned="false", sigma_max=1.0, num_frames=64)
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    # Perturb params so the zero-init output convs contribute (see above).
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    variables = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    lengths = [11000, 30000, 7000, 22000]  # 1..4 chunks each at chunk 64
+    ys = [rng.standard_normal(t).astype(np.float32) * 0.1 for t in lengths]
+
+    refs = [
+        enhance_streamed_spec(model, variables, y, "sebridge",
+                              jax.random.PRNGKey(1), chunk_frames=64,
+                              overlap_frames=2)
+        for y in ys
+    ]
+    for batch_size in (3, 16):
+        outs = enhance_streamed_packed(
+            model, variables, ys, "sebridge", jax.random.PRNGKey(1),
+            chunk_frames=64, overlap_frames=2, batch_size=batch_size,
+        )
+        assert len(outs) == len(ys)
+        for out, ref, y in zip(outs, refs, ys):
+            assert out.shape == y.shape
+            np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_packed_snr_branch_smoke(rng):
+    """Per-utterance est_snr values flow into each utterance's chunks (prep
+    normalization + per-row sampler conditioning) without shape errors."""
+    from diffse_tpu.evaluation.streaming import enhance_streamed_packed
+
+    model, variables = _model()
+    ys = [rng.standard_normal(t).astype(np.float32) * 0.1
+          for t in (9000, 20000)]
+    outs = enhance_streamed_packed(
+        model, variables, ys, "sebridge_v2_snr", jax.random.PRNGKey(5),
+        chunk_frames=64, overlap_frames=2, batch_size=4,
+        est_snrs=[0.3, 2.5], fixed_snr=0.17783,
+    )
+    for out, y in zip(outs, ys):
+        assert out.shape == y.shape
+        assert np.all(np.isfinite(out))

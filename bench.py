@@ -202,10 +202,10 @@ def run_stage(stage: str):
 
             # pipelined serving: drive the cached jit with several
             # utterances in flight (host work is one zero-pad per utterance)
-            cache_key = (id(model), "bbed", n_chunks, NUM_FRAMES, OV_SPEC,
+            _scache = _streaming._stream_cache(model)
+            cache_key = ("spec", "bbed", n_chunks, NUM_FRAMES, OV_SPEC,
                          cfg.fixed_snr)
-            sfn = _streaming._spec_stream_cache.get(
-                cache_key) or next(iter(_streaming._spec_stream_cache.values()))
+            sfn = _scache.get(cache_key) or next(iter(_scache.values()))
             pad_samples = (total_frames - 1) * cfg.hop_length
             yp = np.zeros(pad_samples, dtype=np.float32)
             yp[: t_utt_spec] = utt_spec

@@ -37,16 +37,21 @@ SNR_ALD = 0.5
 N_STEPS = 30
 CORRECTOR_STEPS = 1
 
-_jit_cache: dict = {}
-
-
 def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
-                est_snr, fixed_snr: float):
+                est_snr, fixed_snr: float, noise_size=None):
     """Branch-specific enhanced-sample computation on COMPRESSED spectrograms
     (the shared core of inference.py:152-312): X/Y are ``[B, 1, F, T]``
     complex, ``est_snr`` is ``[B]``. Returns the enhanced compressed spec
     ``[B, 1, F, T]``. Pure/traceable — used by the eval harness and by the
-    spec-domain streaming path (evaluation/streaming.py)."""
+    spec-domain streaming paths (evaluation/streaming.py).
+
+    ``noise_size`` (sebridge_v2_fixed only): the |X-Y| magnitude used for the
+    fixed-SNR rescale, broadcastable against ``[B, 1, F, T]``. The reference
+    evaluates one utterance per call, so its max is per-utterance
+    (inference.py:252-255); batched callers must pass the per-utterance value
+    (per row for utterance batches, the whole-utterance scalar for chunk
+    batches) — None falls back to a max over the full batch, which is only
+    correct when the batch IS one utterance."""
     cfg = model.cfg
     if branch == "bbed":
         score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
@@ -66,7 +71,8 @@ def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
         sample, _ = model.forward(variables, Y + Z, vec_t, Y)
     elif branch == "sebridge_v2_fixed":
         vec_t = jnp.full((Y.shape[0],), 0.999)
-        noise_size = noise_mag(X, Y, mode="max")
+        if noise_size is None:
+            noise_size = noise_mag(X, Y, mode="max")
         Y = X + (Y - X) / noise_size * fixed_snr
         Z = randn_like(key, Y) * cfg.sigma_max * 0.999
         sample, _ = model.forward(variables, Y + Z, vec_t, Y)
@@ -99,9 +105,13 @@ def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
     (inference.py:152-312)."""
     cfg = model.cfg
     fixed_snr = cfg.fixed_snr if fixed_snr is None else fixed_snr
-    key_ = (id(model), branch, t_pad, fixed_snr)
-    if key_ in _jit_cache:
-        return _jit_cache[key_]
+    # Cache on the model itself (like ScoreModel._enhance_cache): the jitted
+    # closures capture `model`, so a module-global cache would pin every
+    # served model (and its compiled programs) for the process lifetime.
+    cache = model.__dict__.setdefault("_eval_jit_cache", {})
+    key_ = (branch, t_pad, fixed_snr)
+    if key_ in cache:
+        return cache[key_]
 
     def fn(variables, x_wav, y_wav, key, est_snr):
         # Per-utterance (per-row) normalization: identical to the reference for
@@ -123,14 +133,22 @@ def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
         Y = pad_spec(model._forward_transform(model._stft(y))[:, None])
         X = pad_spec(model._forward_transform(model._stft(x))[:, None])
 
+        noise_size = None
+        if branch == "sebridge_v2_fixed":
+            # Per-ROW max: each row is one utterance here, and the reference
+            # computes the rescale magnitude over a single utterance
+            # (inference.py:252-255) — a batch-global max would couple
+            # utterances through whichever file they are batched with.
+            noise_size = jnp.max(jnp.abs(X - Y), axis=(1, 2, 3), keepdims=True)
+
         sample = spec_sample(model, variables, branch, X, Y, key, est_snr,
-                             fixed_snr)
+                             fixed_snr, noise_size=noise_size)
 
         x_hat = model.to_audio(sample[:, 0]) * norm_factor
         return x_hat
 
     jitted = jax.jit(fn)
-    _jit_cache[key_] = jitted
+    cache[key_] = jitted
     return jitted
 
 

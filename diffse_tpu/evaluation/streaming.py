@@ -128,9 +128,6 @@ def enhance_streamed(
     return out[:t_orig]
 
 
-_spec_stream_cache: dict = {}
-
-
 def _frame_crossfade_weights(n: int, chunk: int, overlap: int) -> np.ndarray:
     """[n, chunk] frame-domain cross-fade weights: half-sample-offset ramps
     over the overlap so adjacent chunks sum to exactly 1; utterance edges
@@ -141,6 +138,63 @@ def _frame_crossfade_weights(n: int, chunk: int, overlap: int) -> np.ndarray:
         w[1:, :overlap] = ramp
         w[:-1, -overlap:] = ramp[::-1]
     return w
+
+
+def _stream_cache(model: ScoreModel) -> dict:
+    """Per-model jit cache (like ScoreModel._enhance_cache): the jitted
+    closures capture the model, so a module-global cache would pin every
+    served model and its compiled programs for the process lifetime."""
+    return model.__dict__.setdefault("_stream_jit_cache", {})
+
+
+def _spec_prep(model: ScoreModel, model_type: str, fs: float,
+               x_in, y_in, est, n: int, step: int, chunk: int):
+    """Traceable shared prep: per-utterance normalization (exactly the eval
+    harness's, inference.py:156), whole-utterance STFT + compression, and
+    overlapped chunk slicing. Returns ``(Xc, Yc, norm, noise_size)`` where
+    ``noise_size`` is the utterance-level |X-Y| max needed by the
+    sebridge_v2_fixed rescale (None for other branches)."""
+    from ..models.score_model import calculate_normfac_direct
+
+    norm = jnp.max(jnp.abs(y_in))
+    if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
+        norm = norm * calculate_normfac_direct(1.0, est, fs)
+    y_n = y_in[None] / norm
+    x_n = x_in[None] / norm
+    if model_type == "sebridge_v3_fixed":
+        y_n = x_n + (y_n - x_n) * fs  # inference.py:165-166
+    Yf = model._forward_transform(model._stft(y_n))[:, None]  # [1,1,F,T]
+    Xf = model._forward_transform(model._stft(x_n))[:, None]
+    noise_size = None
+    if model_type == "sebridge_v2_fixed":
+        # The chunks tile the whole utterance, so this equals the max over
+        # the chunk batch — but it must be computed per UTTERANCE, never over
+        # a batch mixing several utterances (inference.py:252-255).
+        noise_size = jnp.max(jnp.abs(Xf - Yf))
+    Yc = jnp.concatenate(
+        [Yf[..., i * step : i * step + chunk] for i in range(n)]
+    )  # [n,1,F,chunk]
+    Xc = jnp.concatenate(
+        [Xf[..., i * step : i * step + chunk] for i in range(n)]
+    )
+    return Xc, Yc, norm, noise_size
+
+
+def _spec_ola(model: ScoreModel, sample, weights, n: int, step: int,
+              chunk: int, total_frames: int, pad_samples: int):
+    """Traceable shared finish: decompress, frame-domain cross-fade
+    overlap-add, single iSTFT. Returns the normalized-domain waveform
+    ``[1, pad_samples]``."""
+    lin = model._backward_transform(sample)  # [n,1,F,chunk] linear STFT
+    w = weights[:, None, None, :].astype(lin.dtype)
+    acc = jnp.zeros((1, 1, lin.shape[2], total_frames), dtype=lin.dtype)
+    wsum = jnp.zeros((total_frames,), dtype=jnp.float32)
+    for i in range(n):
+        sl = slice(i * step, i * step + chunk)
+        acc = acc.at[..., sl].add(lin[i : i + 1] * w[i : i + 1])
+        wsum = wsum.at[sl].add(weights[i])
+    acc = acc / jnp.maximum(wsum, 1e-8).astype(acc.dtype)
+    return model._istft(acc[:, 0], length=pad_samples)
 
 
 def enhance_streamed_spec(
@@ -183,11 +237,9 @@ def enhance_streamed_spec(
     x_wav = y_wav if x_wav is None else np.asarray(x_wav).reshape(-1)
     t_orig = y_wav.shape[-1]
 
-    step = chunk_frames - overlap_frames
-    frames = 1 + t_orig // hop
-    n = max(1, -(-(frames - overlap_frames) // step))  # ceil
-    total_frames = n * step + overlap_frames
-    pad_samples = (total_frames - 1) * hop
+    step, n, total_frames, pad_samples = _packed_geometry(
+        t_orig, hop, chunk_frames, overlap_frames
+    )
 
     yp = np.zeros(pad_samples, dtype=np.float32)
     xp = np.zeros(pad_samples, dtype=np.float32)
@@ -195,50 +247,29 @@ def enhance_streamed_spec(
     xp[: min(t_orig, pad_samples)] = x_wav[:pad_samples]
 
     fs = cfg.fixed_snr if fixed_snr is None else fixed_snr
-    cache_key = (id(model), model_type, n, chunk_frames, overlap_frames, fs)
-    fn = _spec_stream_cache.get(cache_key)
+    cache = _stream_cache(model)
+    cache_key = ("spec", model_type, n, chunk_frames, overlap_frames, fs)
+    fn = cache.get(cache_key)
     if fn is None:
         weights = jnp.asarray(
             _frame_crossfade_weights(n, chunk_frames, overlap_frames)
         )
 
         def stream_fn(variables, x_in, y_in, key, est):
-            from ..models.score_model import calculate_normfac_direct
-
             est_b = jnp.broadcast_to(jnp.atleast_1d(est), (n,))
-            norm = jnp.max(jnp.abs(y_in))
-            if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
-                # eval-harness normalization correction (inference.py:156)
-                norm = norm * calculate_normfac_direct(1.0, est, fs)
-            y_n = y_in[None] / norm
-            x_n = x_in[None] / norm
-            if model_type == "sebridge_v3_fixed":
-                y_n = x_n + (y_n - x_n) * fs  # inference.py:165-166
-            Yf = model._forward_transform(model._stft(y_n))[:, None]  # [1,1,F,T]
-            Xf = model._forward_transform(model._stft(x_n))[:, None]
-            Yc = jnp.concatenate(
-                [Yf[..., i * step : i * step + chunk_frames] for i in range(n)]
-            )  # [n,1,F,chunk]
-            Xc = jnp.concatenate(
-                [Xf[..., i * step : i * step + chunk_frames] for i in range(n)]
+            Xc, Yc, norm, noise_size = _spec_prep(
+                model, model_type, fs, x_in, y_in, est, n, step, chunk_frames
             )
             sample = spec_sample(
-                model, variables, model_type, Xc, Yc, key, est_b, fs
+                model, variables, model_type, Xc, Yc, key, est_b, fs,
+                noise_size=noise_size,
             )
-            lin = model._backward_transform(sample)  # linear STFT domain
-            w = weights[:, None, None, :].astype(lin.dtype)
-            acc = jnp.zeros(Yf.shape, dtype=lin.dtype)
-            wsum = jnp.zeros((total_frames,), dtype=jnp.float32)
-            for i in range(n):
-                sl = slice(i * step, i * step + chunk_frames)
-                acc = acc.at[..., sl].add(lin[i : i + 1] * w[i : i + 1])
-                wsum = wsum.at[sl].add(weights[i])
-            acc = acc / jnp.maximum(wsum, 1e-8).astype(acc.dtype)
-            x_hat = model._istft(acc[:, 0], length=pad_samples)
+            x_hat = _spec_ola(model, sample, weights, n, step, chunk_frames,
+                              total_frames, pad_samples)
             return x_hat * norm
 
         fn = jax.jit(stream_fn)
-        _spec_stream_cache[cache_key] = fn
+        cache[cache_key] = fn
 
     out = np.asarray(
         fn(variables, jnp.asarray(xp), jnp.asarray(yp), key,
@@ -248,9 +279,6 @@ def enhance_streamed_spec(
     if out.shape[-1] < t_orig:
         out = np.pad(out, (0, t_orig - out.shape[-1]))
     return out
-
-
-_packed_cache: dict = {}
 
 
 def _packed_geometry(t_orig: int, hop: int, chunk: int, overlap: int):
@@ -319,77 +347,60 @@ def enhance_streamed_packed(
     if est_snrs is None:
         est_snrs = [1.0] * len(y_wavs)
     m = len(y_wavs)
+    cache = _stream_cache(model)
+    needs_noise = model_type == "sebridge_v2_fixed"
 
-    def _prep_fn(n, total_frames, step):
-        ck = ("prep", id(model), model_type, n, chunk, overlap, fs)
-        fn = _packed_cache.get(ck)
+    def _prep_fn(n, step):
+        ck = ("prep", model_type, n, chunk, overlap, fs)
+        fn = cache.get(ck)
         if fn is not None:
             return fn
 
         def prep(x_in, y_in, est):
-            from ..models.score_model import calculate_normfac_direct
-
-            norm = jnp.max(jnp.abs(y_in))
-            if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
-                norm = norm * calculate_normfac_direct(1.0, est, fs)
-            y_n = y_in[None] / norm
-            x_n = x_in[None] / norm
-            if model_type == "sebridge_v3_fixed":
-                y_n = x_n + (y_n - x_n) * fs
-            Yf = model._forward_transform(model._stft(y_n))[:, None]
-            Xf = model._forward_transform(model._stft(x_n))[:, None]
-            Yc = jnp.concatenate(
-                [Yf[..., i * step : i * step + chunk] for i in range(n)]
-            )  # [n,1,F,chunk]
-            Xc = jnp.concatenate(
-                [Xf[..., i * step : i * step + chunk] for i in range(n)]
-            )
-            return Xc, Yc, norm
+            return _spec_prep(model, model_type, fs, x_in, y_in, est, n,
+                              step, chunk)
 
         fn = jax.jit(prep)
-        _packed_cache[ck] = fn
+        cache[ck] = fn
         return fn
 
     def _chunk_fn():
-        ck = ("chunk", id(model), model_type, batch_size, chunk, fs)
-        fn = _packed_cache.get(ck)
+        ck = ("chunk", model_type, batch_size, chunk, fs)
+        fn = cache.get(ck)
         if fn is not None:
             return fn
 
-        def run(variables, Xb, Yb, key, est_b):
-            return spec_sample(model, variables, model_type, Xb, Yb, key,
-                               est_b, fs)
+        if needs_noise:
+            def run(variables, Xb, Yb, key, est_b, noise_b):
+                return spec_sample(model, variables, model_type, Xb, Yb, key,
+                                   est_b, fs, noise_size=noise_b)
+        else:
+            def run(variables, Xb, Yb, key, est_b):
+                return spec_sample(model, variables, model_type, Xb, Yb, key,
+                                   est_b, fs)
 
         fn = jax.jit(run)
-        _packed_cache[ck] = fn
+        cache[ck] = fn
         return fn
 
-    def _finish_fn(n, total_frames, step, pad_samples):
-        ck = ("finish", id(model), model_type, n, chunk, overlap, fs)
-        fn = _packed_cache.get(ck)
+    def _finish_fn(n, step, total_frames, pad_samples):
+        ck = ("finish", model_type, n, chunk, overlap, fs)
+        fn = cache.get(ck)
         if fn is not None:
             return fn
         weights = jnp.asarray(_frame_crossfade_weights(n, chunk, overlap))
 
         def finish(sample, norm):
-            lin = model._backward_transform(sample)  # [n,1,F,chunk] linear
-            w = weights[:, None, None, :].astype(lin.dtype)
-            acc = jnp.zeros((1, 1, lin.shape[2], total_frames), dtype=lin.dtype)
-            wsum = jnp.zeros((total_frames,), dtype=jnp.float32)
-            for i in range(n):
-                sl = slice(i * step, i * step + chunk)
-                acc = acc.at[..., sl].add(lin[i : i + 1] * w[i : i + 1])
-                wsum = wsum.at[sl].add(weights[i])
-            acc = acc / jnp.maximum(wsum, 1e-8).astype(acc.dtype)
-            x_hat = model._istft(acc[:, 0], length=pad_samples)
+            x_hat = _spec_ola(model, sample, weights, n, step, chunk,
+                              total_frames, pad_samples)
             return x_hat * norm
 
         fn = jax.jit(finish)
-        _packed_cache[ck] = fn
+        cache[ck] = fn
         return fn
 
     # ---- stage 1: per-utterance prep; build the pooled chunk queue --------
-    geoms, Xcs, Ycs, norms, ests = [], [], [], [], []
+    geoms, Xcs, Ycs, norms, ests, noises = [], [], [], [], [], []
     for i in range(m):
         t_orig = y_wavs[i].shape[-1]
         step, n, total_frames, pad_samples = _packed_geometry(
@@ -401,17 +412,22 @@ def enhance_streamed_packed(
         yp[: min(t_orig, pad_samples)] = y_wavs[i][:pad_samples]
         xp[: min(t_orig, pad_samples)] = x_wavs[i][:pad_samples]
         est = jnp.asarray(est_snrs[i], dtype=jnp.float32)
-        Xc, Yc, norm = _prep_fn(n, total_frames, step)(
+        Xc, Yc, norm, noise_size = _prep_fn(n, step)(
             jnp.asarray(xp), jnp.asarray(yp), est
         )
         Xcs.append(Xc)
         Ycs.append(Yc)
         norms.append(norm)
         ests.append(jnp.full((n,), est_snrs[i], dtype=jnp.float32))
+        if needs_noise:
+            # per-UTTERANCE rescale magnitude, broadcast to this utterance's
+            # chunks — never taken across the mixed hot batch
+            noises.append(jnp.broadcast_to(noise_size, (n, 1, 1, 1)))
 
     Xall = jnp.concatenate(Xcs)  # [total_chunks, 1, F, chunk]
     Yall = jnp.concatenate(Ycs)
     est_all = jnp.concatenate(ests)
+    noise_all = jnp.concatenate(noises) if needs_noise else None
     total_chunks = Xall.shape[0]
     n_batches = -(-total_chunks // batch_size)
     padded = n_batches * batch_size
@@ -422,14 +438,22 @@ def enhance_streamed_packed(
         Yall = jnp.concatenate([Yall, jnp.zeros((padn,) + Yall.shape[1:],
                                                 Yall.dtype)])
         est_all = jnp.concatenate([est_all, jnp.ones((padn,), est_all.dtype)])
+        if needs_noise:
+            noise_all = jnp.concatenate(
+                [noise_all, jnp.ones((padn, 1, 1, 1), noise_all.dtype)]
+            )
 
     # ---- stage 2: hot fixed-shape chunk program, pipelined dispatch -------
     run = _chunk_fn()
     outs = []
     for bi in range(n_batches):
         sl = slice(bi * batch_size, (bi + 1) * batch_size)
-        outs.append(run(variables, Xall[sl], Yall[sl],
-                        jax.random.fold_in(key, bi), est_all[sl]))
+        bkey = jax.random.fold_in(key, bi)
+        if needs_noise:
+            outs.append(run(variables, Xall[sl], Yall[sl], bkey, est_all[sl],
+                            noise_all[sl]))
+        else:
+            outs.append(run(variables, Xall[sl], Yall[sl], bkey, est_all[sl]))
     samples = jnp.concatenate(outs)[:total_chunks]
 
     # ---- stage 3: per-utterance overlap-add + iSTFT ------------------------
@@ -439,7 +463,7 @@ def enhance_streamed_packed(
         sample = samples[off : off + n]
         off += n
         out = np.asarray(
-            _finish_fn(n, total_frames, step, pad_samples)(sample, norms[i])
+            _finish_fn(n, step, total_frames, pad_samples)(sample, norms[i])
         )[0][:t_orig]
         if out.shape[-1] < t_orig:
             out = np.pad(out, (0, t_orig - out.shape[-1]))

@@ -533,8 +533,9 @@ class ScoreModel:
             X = pad_spec(X)
             if seq_mesh is not None:
                 from ..parallel.sequence import constrain_frames
-                X = constrain_frames(X, seq_mesh)
-                Y = constrain_frames(Y, seq_mesh)
+                ax = seq_mesh.axis_names[0]  # honor a custom axis name
+                X = constrain_frames(X, seq_mesh, ax)
+                Y = constrain_frames(Y, seq_mesh, ax)
             return X, Y
 
         def fn(variables, x_wav, y_wav, key, est_snr, snr):

@@ -120,12 +120,46 @@ def test_eval_enhance_file_length_variation_reuses_one_compile():
 
     model, variables = _model("false", "sebridge_v2")
     rng = np.random.default_rng(0)
-    inf._jit_cache.clear()
     for n in (2048, 5000):
         y = rng.standard_normal(n).astype(np.float32) * 0.1
         out = inf.eval_enhance_file(model, variables, y, y, "sebridge_v2",
                                     jax.random.PRNGKey(1))
         assert out.shape == (n,)
-    assert len(inf._jit_cache) == 1
-    jitted = next(iter(inf._jit_cache.values()))
+    # eval jits live on the model (no module-global pinning); one program
+    # serves both lengths in the bucket
+    assert len(model._eval_jit_cache) == 1
+    jitted = next(iter(model._eval_jit_cache.values()))
     assert jitted._cache_size() == 1, jitted._cache_size()
+
+
+def test_v2_fixed_batched_rows_independent(monkeypatch):
+    """sebridge_v2_fixed's rescale magnitude (|X-Y| max) must be computed per
+    ROW: batching a quiet utterance with a 10x louder one must not change
+    either row's output (regression: noise_mag was taken over the whole
+    batch, coupling utterances through whoever they were batched with)."""
+    from diffse_tpu.evaluation import inference as inf
+
+    monkeypatch.setattr(inf, "randn_like", lambda key, x: jnp.zeros_like(x))
+    model, variables = _model("false", "sebridge_v2", with_snr_model=False)
+    rng = np.random.default_rng(3)
+    n = 3968  # 32 frames: matches the t_pad=32 bucket below
+    # Row 0: lightly noisy. Row 1: much noisier (per-row normalization maps
+    # scaled copies to identical specs, so only a different noise RATIO can
+    # expose cross-row coupling of the rescale magnitude).
+    x0 = rng.standard_normal(n).astype(np.float32) * 0.1
+    y0 = x0 + rng.standard_normal(n).astype(np.float32) * 0.01
+    x1 = rng.standard_normal(n).astype(np.float32) * 0.1
+    y1 = x1 + rng.standard_normal(n).astype(np.float32) * 0.2
+
+    fn = inf._eval_fn(model, "sebridge_v2_fixed", 32, fixed_snr=0.3)
+    key = jax.random.PRNGKey(0)
+    est = jnp.asarray([1.0, 1.0])
+    xb = jnp.stack([x0, x1])
+    yb = jnp.stack([y0, y1])
+    batched = np.asarray(fn(variables, xb, yb, key, est))
+    solo0 = np.asarray(fn(variables, x0[None], y0[None], key,
+                          jnp.asarray([1.0])))[0]
+    solo1 = np.asarray(fn(variables, x1[None], y1[None], key,
+                          jnp.asarray([1.0])))[0]
+    np.testing.assert_allclose(batched[0], solo0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(batched[1], solo1, rtol=1e-5, atol=1e-5)

@@ -224,16 +224,17 @@ def test_spec_streamed_identity_reconstruction(rng, monkeypatch):
 
     model, variables = _model()
 
-    def fake_spec_sample(model_, variables_, branch, X, Y, key, est, fs):
+    def fake_spec_sample(model_, variables_, branch, X, Y, key, est, fs,
+                         noise_size=None):
         return Y
 
     monkeypatch.setattr(streaming, "spec_sample", fake_spec_sample)
-    streaming._spec_stream_cache.clear()
+    streaming._stream_cache(model).clear()
     y = rng.standard_normal(30000).astype(np.float32) * 0.1
     out = enhance_streamed_spec(model, variables, y, "sebridge_v2",
                                 jax.random.PRNGKey(0), chunk_frames=64,
                                 overlap_frames=4)
-    streaming._spec_stream_cache.clear()
+    streaming._stream_cache(model).clear()
     assert out.shape == y.shape
     np.testing.assert_allclose(out, y, atol=1e-4)
 
@@ -373,3 +374,41 @@ def test_packed_snr_branch_smoke(rng):
     for out, y in zip(outs, ys):
         assert out.shape == y.shape
         assert np.all(np.isfinite(out))
+
+
+def test_packed_v2_fixed_matches_per_utterance(monkeypatch, rng):
+    """sebridge_v2_fixed packed serving must equal the per-utterance spec
+    path even when a quiet utterance shares hot batches with a 10x louder
+    one (the rescale magnitude is per-utterance, not per-hot-batch).
+    Sampler noise is removed so any difference is the rescale."""
+    from diffse_tpu.evaluation import inference as inf
+    from diffse_tpu.evaluation.streaming import (
+        enhance_streamed_packed,
+        enhance_streamed_spec,
+    )
+
+    monkeypatch.setattr(inf, "randn_like", lambda key, x: jnp.zeros_like(x))
+    model, variables = _model()
+    xs, ys = [], []
+    # Different noise RATIOS (per-utterance normalization erases pure scale
+    # differences), so a cross-batch max would visibly change the rescale.
+    for noise_ratio, t in ((0.05, 17000), (1.5, 24000)):
+        x = rng.standard_normal(t).astype(np.float32) * 0.1
+        xs.append(x)
+        ys.append(x + rng.standard_normal(t).astype(np.float32)
+                  * 0.1 * noise_ratio)
+
+    refs = [
+        enhance_streamed_spec(model, variables, y, "sebridge_v2_fixed",
+                              jax.random.PRNGKey(1), chunk_frames=64,
+                              overlap_frames=2, x_wav=x, fixed_snr=0.3)
+        for x, y in zip(xs, ys)
+    ]
+    outs = enhance_streamed_packed(
+        model, variables, ys, "sebridge_v2_fixed", jax.random.PRNGKey(1),
+        chunk_frames=64, overlap_frames=2, batch_size=3, x_wavs=xs,
+        fixed_snr=0.3,
+    )
+    for out, ref in zip(outs, refs):
+        scale = np.max(np.abs(ref)) or 1.0
+        np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..data.wavio import read_wav
 from ..models.score_model import ScoreModel
-from .inference import SR, eval_enhance_file
+from .inference import SR
 from .metrics import estoi, pesq_wb, si_sdr
 
 SNR_GRID = list(range(0, 41, 5))
@@ -53,22 +53,31 @@ def deep_evaluate_model(
     acc_sisdr = np.zeros(len(SNR_GRID))
     acc_estoi = np.zeros(len(SNR_GRID))
 
+    from .batch_eval import batch_enhance
+
     for i, (cf, nf) in enumerate(zip(clean_files, noisy_files)):
         x_def, _ = read_wav(cf)
         y_def, _ = read_wav(nf)
         x_def, y_def = x_def[0], y_def[0]
         y0_def = y_def - x_def
 
-        for j, snr_db in enumerate(SNR_GRID):
-            y = x_def + y0_def * 10 ** (-snr_db / 20)
-            est_snr = 1.0
-            if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
-                est_snr = float(model.estimate_snr(jnp.asarray(y)[None])[0])
-            file_key = jax.random.fold_in(key, i * 100 + j)
-            x_hat = eval_enhance_file(
-                model, variables, x_def, y, model_type, file_key, est_snr=est_snr,
-                fixed_snr=fixed_snr,
-            )
+        # All nine SNR variants share the file's length, so they enhance as
+        # ONE batched call of the bucket program (per-row normalization and
+        # per-row est keep semantics exactly per-variant; the reference loops
+        # them one by one, deep_inference.py:125-129).
+        ys = [x_def + y0_def * 10 ** (-snr_db / 20) for snr_db in SNR_GRID]
+        est_snrs = None
+        if model_type in ("sebridge_v2_snr", "sebridge_v3_snr"):
+            est_snrs = list(np.asarray(
+                model.estimate_snr(jnp.asarray(np.stack(ys)))
+            ))
+        file_key = jax.random.fold_in(key, i)
+        x_hats = batch_enhance(
+            model, variables, [x_def] * len(SNR_GRID), ys, model_type,
+            file_key, batch_size=len(SNR_GRID), est_snrs=est_snrs,
+            fixed_snr=fixed_snr,
+        )
+        for j, x_hat in enumerate(x_hats):
             acc_sisdr[j] += si_sdr(x_def, x_hat)
             acc_pesq[j] += pesq_wb(SR, x_def, x_hat)
             acc_estoi[j] += estoi(x_def, x_hat, SR)

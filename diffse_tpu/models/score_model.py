@@ -486,7 +486,10 @@ class ScoreModel:
         if self.snr_model is None:
             raise ValueError("snr_conditioned='true' requires an snr_model")
         snr_module, snr_vars = self.snr_model
-        y_n = y_wav / jnp.max(jnp.abs(y_wav))
+        # Per-ROW normalization: the reference normalizes one utterance at a
+        # time (model.py:714); a batch-global max would couple rows when
+        # estimating several utterances in one call.
+        y_n = y_wav / jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
         spec = self._stft(y_n)  # [B, F, T] complex (raw, no compression)
         spec2 = jnp.stack([spec.real, spec.imag], axis=1)  # [B, 2, F, T]
         spec2 = pad_spec_16(spec2)

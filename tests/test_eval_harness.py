@@ -163,3 +163,16 @@ def test_v2_fixed_batched_rows_independent(monkeypatch):
                           jnp.asarray([1.0])))[0]
     np.testing.assert_allclose(batched[0], solo0, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(batched[1], solo1, rtol=1e-5, atol=1e-5)
+
+
+def test_estimate_snr_batch_rows_independent(rng):
+    """estimate_snr normalizes per ROW: batching utterances of very different
+    loudness must return the same estimates as one-at-a-time calls (the deep
+    sweep now estimates all nine SNR variants in one batch)."""
+    model, variables = _model("true", "sebridge_v3", with_snr_model=True)
+    y0 = rng.standard_normal(4000).astype(np.float32) * 0.01
+    y1 = rng.standard_normal(4000).astype(np.float32) * 1.0
+    batch = np.asarray(model.estimate_snr(jnp.stack([y0, y1])))
+    solo0 = float(model.estimate_snr(jnp.asarray(y0)[None])[0])
+    solo1 = float(model.estimate_snr(jnp.asarray(y1)[None])[0])
+    np.testing.assert_allclose(batch, [solo0, solo1], rtol=1e-5)

@@ -470,10 +470,41 @@ def _emit(stage, batch, audio_len, wall, jax, extra):
     print("RESULT " + json.dumps(result), flush=True)
 
 
+def _tunnel_healthy(timeout_s: int = 150) -> bool:
+    """One quick subprocess probe of the ambient accelerator: device listing
+    plus a trivial compiled op. A WEDGED axon tunnel makes jax.devices()
+    hang forever (observed in round 3) rather than raise — the subprocess
+    timeout converts that hang into a clean False."""
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "(jnp.ones(8) + 1).block_until_ready()\n"
+        "print('HEALTH_OK', d[0])\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return "HEALTH_OK" in (proc.stdout or "")
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--stage":
         run_stage(sys.argv[2])
         return
+
+    # Preflight: if the TPU tunnel is down, waiting here is strictly better
+    # than burning the stage ladder's multi-hour timeouts on hangs. Poll up
+    # to ~30 min, then proceed regardless (stages still have own timeouts).
+    for attempt in range(12):
+        if _tunnel_healthy():
+            break
+        print(f"=== accelerator preflight failed (attempt {attempt + 1}/12), "
+              "retrying in 60s", file=sys.stderr, flush=True)
+        time.sleep(60)
 
     for stage, timeout in STAGES:
         print(f"=== trying stage {stage} (timeout {timeout}s)", file=sys.stderr, flush=True)

@@ -99,6 +99,10 @@ def add_trainer_args(group):
     group.add_argument("--wandb", action="store_true")
     group.add_argument("--snr_ckpt", type=str, default=None,
                        help="SNR-estimator checkpoint dir (for snr_conditioned=true eval)")
+    group.add_argument("--eval_batch_size", type=int, default=1,
+                       help="Per-epoch validation enhances files in bucketed "
+                            "batches of this size (1 = one at a time; "
+                            "semantics identical, throughput only)")
     return group
 
 
@@ -200,6 +204,7 @@ def main(argv=None):
         resume=args.resume,
         max_steps_per_epoch=args.max_steps_per_epoch,
         tp_size=args.tp_size,
+        eval_batch_size=args.eval_batch_size,
     )
 
 

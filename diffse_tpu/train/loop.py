@@ -86,6 +86,7 @@ def train_score_model(
     max_steps_per_epoch: Optional[int] = None,
     variables=None,
     tp_size: int = 1,
+    eval_batch_size: int = 1,
 ):
     """Train a ScoreModel; returns the final TrainState.
 
@@ -178,6 +179,7 @@ def train_score_model(
             pesq_v, si_sdr_v, estoi_v = evaluate_model(
                 model, ev, data_module, cfg.num_eval_files, model_type=mt,
                 fixed_snr=cfg.fixed_snr, key=ekey,
+                batch_size=eval_batch_size,
             )
             epoch_metrics.update({"pesq": pesq_v, "si_sdr": si_sdr_v, "estoi": estoi_v})
 

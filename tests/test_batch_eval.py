@@ -69,3 +69,30 @@ def test_batch_enhance_with_mesh(rng):
     assert len(outs) == 8
     for o in outs:
         assert np.all(np.isfinite(o))
+
+
+def test_evaluate_model_batched_matches_per_file(tmp_path, rng):
+    """evaluate_model(batch_size>1) routes through bucketed batch_enhance
+    with identical per-row semantics: on a deterministic branch the metric
+    triple must match the per-file path."""
+    from diffse_tpu.data.dataset import DataModuleConfig, SpecsDataModule
+    from diffse_tpu.data.synthetic import make_synthetic_dataset
+    from diffse_tpu.evaluation.inference import evaluate_model
+
+    root = make_synthetic_dataset(str(tmp_path / "d"), num_train=2, num_valid=3,
+                                  num_valid2=2, num_test=2, duration_s=0.6)
+    dm = SpecsDataModule(DataModuleConfig(base_dir=root, batch_size=2,
+                                          num_frames=32, num_workers=1))
+    dm.setup("fit")
+    cfg = ScoreModelConfig(backbone="ncsnpp", sde="bbed", model_type="sebridge",
+                           snr_conditioned="false", sigma_max=1.0, num_frames=32)
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=32)
+
+    ref = evaluate_model(model, variables, dm, num_eval_files=3,
+                         model_type="sebridge", key=jax.random.PRNGKey(7))
+    bat = evaluate_model(model, variables, dm, num_eval_files=3,
+                         model_type="sebridge", key=jax.random.PRNGKey(7),
+                         batch_size=2)
+    np.testing.assert_allclose(bat, ref, rtol=1e-4, atol=1e-4)

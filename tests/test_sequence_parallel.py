@@ -113,3 +113,15 @@ def test_enhance_seq_mesh_cache_key_distinct():
     assert len(model._enhance_cache) == n0 + 1
     _ = model.enhance(variables, x, y, seq_mesh=make_seq_mesh())
     assert len(model._enhance_cache) == n0 + 1  # same mesh -> cache hit
+
+
+def test_enhance_honors_custom_axis_name():
+    """make_seq_mesh exposes axis_name; enhance(seq_mesh=...) must shard over
+    the mesh's actual axis rather than assuming it is called 'seq'."""
+    model, variables = _make_model("sebridge_v2")
+    x, y = _wavs(seed=4)
+    key = jax.random.PRNGKey(9)
+    ref = model.enhance(variables, x, y, key=key)
+    mesh = make_seq_mesh(n_seq=4, axis_name="frames")
+    par = model.enhance(variables, x, y, key=key, seq_mesh=mesh)
+    np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-5)

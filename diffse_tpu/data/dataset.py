@@ -80,14 +80,22 @@ class Specs:
         self.fixed_snr = fixed_snr
         self.rng = np.random.default_rng(seed)
 
-    def _crop_pair(self, x: np.ndarray, y: np.ndarray):
-        """Random/center crop or center pad (data_module.py:53-68)."""
+    def _crop_pair(self, x: np.ndarray, y: np.ndarray, u: Optional[float] = None):
+        """Random/center crop or center pad (data_module.py:53-68).
+
+        ``u`` in [0,1) optionally supplies the crop draw (parallel loaders
+        pre-draw it so thread scheduling cannot perturb determinism); ``None``
+        draws from the dataset rng. ``int(u * span)`` is bit-identical to the
+        previous ``int(rng.uniform(0, span))`` — numpy computes the latter as
+        ``span * next_double()``."""
         target_len = (self.num_frames - 1) * self.hop_length
         current_len = x.shape[-1]
         pad = max(target_len - current_len, 0)
         if pad == 0:
             if self.shuffle_spec:
-                start = int(self.rng.uniform(0, current_len - target_len))
+                if u is None:
+                    u = self.rng.uniform(0.0, 1.0)
+                start = int(u * (current_len - target_len))
             else:
                 start = int((current_len - target_len) / 2)
             x = x[..., start : start + target_len]
@@ -98,12 +106,34 @@ class Specs:
             y = np.pad(y, width, mode="constant")
         return x, y
 
-    def __getitem__(self, i: int):
+    def load_item(self, i: int, u: Optional[float] = None):
+        """One (clean, noisy) crop. ``u`` pre-supplies the crop draw (see
+        :meth:`_crop_pair`); when the native library is present, the whole
+        decode+remix+crop runs in one GIL-released C++ call
+        (native/wav_loader.cpp:wav_load_pair)."""
+        target_len = (self.num_frames - 1) * self.hop_length
+        if _native_loader is not None and _native_loader.available():
+            try:
+                if u is None and self.shuffle_spec:
+                    # Draw only when this item will actually crop, consuming
+                    # the dataset rng exactly like the pure-python path.
+                    if _native_loader.wav_len(self.clean_files[i]) > target_len:
+                        u = self.rng.uniform(0.0, 1.0)
+                return _native_loader.load_pair(
+                    self.clean_files[i], self.noisy_files[i],
+                    0.0 if u is None else float(u), self.shuffle_spec,
+                    self.fixed_snr, target_len,
+                )
+            except Exception:
+                pass  # fall through to the numpy path
         x = _load_wav(self.clean_files[i])
         y = _load_wav(self.noisy_files[i])
         y = x + (y - x) * self.fixed_snr
-        x, y = self._crop_pair(x, y)
+        x, y = self._crop_pair(x, y, u)
         return x.astype(np.float32), y.astype(np.float32)
+
+    def __getitem__(self, i: int):
+        return self.load_item(i)
 
     def __len__(self):
         n = len(self.clean_files)
@@ -129,21 +159,27 @@ class Specs_SNR(Specs):
                 except (IndexError, ValueError):
                     break
 
+    def load_item(self, i: int, u: Optional[float] = None):
+        # fixed_snr == 1.0, so the base remix is the identity y' == y.
+        x, y = super().load_item(i, u)
+        return (x, y, np.float32(self.clean_rms[i]), np.float32(self.noise_rms[i]))
+
     def __getitem__(self, i: int):
-        x = _load_wav(self.clean_files[i])
-        y = _load_wav(self.noisy_files[i])
-        x, y = self._crop_pair(x, y)
-        return (
-            x.astype(np.float32),
-            y.astype(np.float32),
-            np.float32(self.clean_rms[i]),
-            np.float32(self.noise_rms[i]),
-        )
+        return self.load_item(i)
 
 
 class DataLoader:
-    """Minimal threaded batch loader (the analog of torch DataLoader with
-    num_workers prefetch). Yields tuples of stacked numpy arrays."""
+    """Threaded batch loader (the analog of torch DataLoader with num_workers
+    prefetch). Yields tuples of stacked numpy arrays, in deterministic order.
+
+    ``num_workers > 1`` loads batches concurrently: wav decode dominates item
+    cost and runs with the GIL released (numpy ``frombuffer``/file IO, or the
+    one-call C++ fast path in native/wav_loader.cpp), so plain threads scale.
+    Crop randomness is then pre-drawn from the *loader's* rng in dispatch
+    order — worker scheduling cannot perturb determinism, and the dataset's
+    own (non-thread-safe) rng is never touched from workers. ``num_workers=1``
+    keeps the dataset-rng sequential semantics exactly.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = True, num_workers: int = 4, seed: int = 0):
@@ -160,24 +196,66 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator:
+    def _batch_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
-        batches = []
-        for b in range(len(self)):
-            batches.append(order[b * self.batch_size : (b + 1) * self.batch_size])
+        return [order[b * self.batch_size : (b + 1) * self.batch_size]
+                for b in range(len(self))]
 
-        q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
+    @staticmethod
+    def _stack(items):
+        return tuple(np.stack([it[c] for it in items]) for c in range(len(items[0])))
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        if self.num_workers == 1:
+            yield from self._iter_sequential(batches)
+            return
+
+        # Parallel path: pre-draw per-item crop u's (consumed only by
+        # datasets that crop randomly — Specs with shuffle_spec=True).
+        draws_crops = bool(getattr(self.dataset, "shuffle_spec", False))
+        us = (self.rng.uniform(0.0, 1.0, size=len(self.dataset))
+              if draws_crops else None)
+        load = getattr(self.dataset, "load_item", None)
+
+        def load_batch(idxs):
+            items = []
+            for i in idxs:
+                if load is not None:
+                    u = None if us is None else float(us[int(i)])
+                    items.append(load(int(i), u))
+                else:
+                    items.append(self.dataset[int(i)])
+            return self._stack(items)
+
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            inflight: deque = deque()
+            depth = self.num_workers * 2
+            b = 0
+            while b < len(batches) or inflight:
+                while b < len(batches) and len(inflight) < depth:
+                    inflight.append(ex.submit(load_batch, batches[b]))
+                    b += 1
+                yield inflight.popleft().result()
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _iter_sequential(self, batches) -> Iterator:
+        """Single producer thread; items drawn via the dataset's own rng."""
+        q: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
 
         def produce():
             for idxs in batches:
                 if stop.is_set():
                     return
-                items = [self.dataset[int(i)] for i in idxs]
-                cols = tuple(np.stack([it[c] for it in items]) for c in range(len(items[0])))
-                q.put(cols)
+                q.put(self._stack([self.dataset[int(i)] for i in idxs]))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -81,6 +81,17 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.wav_load_pair.restype = ctypes.c_int
+        lib.wav_load_pair.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.upfirdn2d_f32.restype = None
         lib.upfirdn2d_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -115,6 +126,34 @@ class loader:
         if got != n:
             raise IOError(f"native wav decode short-read for {path}")
         return out
+
+    @staticmethod
+    def wav_len(path: str) -> int:
+        """Cheap header probe: number of mono samples (no sample decode)."""
+        lib = get_lib()
+        sr = ctypes.c_int(0)
+        n = lib.wav_read_mono(path.encode(), None, 0, ctypes.byref(sr))
+        if n < 0:
+            raise IOError(f"native wav probe failed for {path}")
+        return int(n)
+
+    @staticmethod
+    def load_pair(clean_path: str, noisy_path: str, u: float, shuffle: bool,
+                  fixed_snr: float, target_len: int):
+        """Fused dataset item: decode pair + remix + random/center crop/pad in
+        one GIL-released call (the Specs.__getitem__ contract)."""
+        lib = get_lib()
+        out_x = np.empty(target_len, dtype=np.float32)
+        out_y = np.empty(target_len, dtype=np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        rc = lib.wav_load_pair(
+            clean_path.encode(), noisy_path.encode(), ctypes.c_double(u),
+            1 if shuffle else 0, ctypes.c_float(fixed_snr), int(target_len),
+            out_x.ctypes.data_as(fp), out_y.ctypes.data_as(fp),
+        )
+        if rc != 0:
+            raise IOError(f"native pair load failed for {clean_path} / {noisy_path}")
+        return out_x, out_y
 
     @staticmethod
     def remix_crop(x: np.ndarray, y: np.ndarray, fixed_snr: float,

@@ -140,4 +140,46 @@ void wav_remix_crop(const float* x, const float* y, long len, float fixed_snr,
   }
 }
 
+// Fused dataset item (the Specs.__getitem__ contract, mirroring the
+// reference's DataLoader-worker hot loop sgmse/data_module.py:47-84): decode
+// the clean/noisy mono pair, remix y' = x + (y - x) * fixed_snr, then random
+// or center crop — `u` in [0,1) selects start = u * (len - target), exactly
+// the value numpy's rng.uniform(0, len - target) yields for the same draw —
+// or center-pad to target_len. One ctypes call per item keeps the GIL
+// released for the whole decode+remix+crop, so Python threads parallelize.
+// Returns 0 on success, -1 on decode failure.
+int wav_load_pair(const char* clean_path, const char* noisy_path, double u,
+                  int shuffle, float fixed_snr, long target_len,
+                  float* out_x, float* out_y) {
+  int sr = 0;
+  long nx = wav_read_mono(clean_path, nullptr, 0, &sr);
+  long ny = wav_read_mono(noisy_path, nullptr, 0, &sr);
+  if (nx < 0 || ny < 0) return -1;
+  long len = nx < ny ? nx : ny;  // pairs should match; tolerate a short tail
+  if (len <= 0) return -1;
+  float* x = (float*)malloc(sizeof(float) * len);
+  float* y = (float*)malloc(sizeof(float) * len);
+  if (!x || !y) {
+    free(x);
+    free(y);
+    return -1;
+  }
+  if (wav_read_mono(clean_path, x, len, &sr) != len ||
+      wav_read_mono(noisy_path, y, len, &sr) != len) {
+    free(x);
+    free(y);
+    return -1;
+  }
+  long start = -1;  // center crop / center pad
+  if (shuffle && len > target_len) {
+    start = (long)(u * (double)(len - target_len));
+    if (start < 0) start = 0;
+    if (start > len - target_len) start = len - target_len;
+  }
+  wav_remix_crop(x, y, len, fixed_snr, target_len, start, out_x, out_y);
+  free(x);
+  free(y);
+  return 0;
+}
+
 }  // extern "C"

@@ -86,6 +86,33 @@ def test_prepare_batch_matches_reference_chain(dataset):
     np.testing.assert_allclose(np.asarray(X)[0, 0], Xt.numpy(), atol=2e-4)
 
 
+def test_parallel_loader_matches_sequential(dataset):
+    """num_workers>1 must yield bit-identical batches to the single-worker
+    path when the dataset crops deterministically (shuffle_spec=False)."""
+    ds = Specs(dataset, "train", dummy=False, shuffle_spec=False, num_frames=32,
+               hop_length=128)
+    seq = list(DataLoader(ds, 2, shuffle=False, num_workers=1))
+    par = list(DataLoader(ds, 2, shuffle=False, num_workers=4))
+    assert len(seq) == len(par)
+    for (xs, ys), (xp, yp) in zip(seq, par):
+        np.testing.assert_array_equal(xs, xp)
+        np.testing.assert_array_equal(ys, yp)
+
+
+def test_parallel_loader_random_crops_deterministic(dataset):
+    """With shuffle_spec=True the parallel loader pre-draws crop u's from its
+    own seeded rng: two runs with the same seed are identical."""
+    def run():
+        ds = Specs(dataset, "train", dummy=False, shuffle_spec=True,
+                   num_frames=16, hop_length=128, seed=7)
+        return [b for b in DataLoader(ds, 2, shuffle=True, num_workers=4, seed=3)]
+
+    a, b = run(), run()
+    for (xa, ya), (xb, yb) in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
 def test_dummy_flag(dataset):
     ds = Specs(dataset, "train", dummy=True, shuffle_spec=False, num_frames=32,
                hop_length=128)

@@ -41,6 +41,39 @@ def test_native_remix_crop(rng):
     np.testing.assert_allclose(ox[100:200], x[:100], atol=1e-7)
 
 
+def test_native_wav_len(tmp_path, rng):
+    x = (rng.standard_normal(777) * 0.2).astype(np.float32)
+    path = str(tmp_path / "l.wav")
+    write_wav(path, x, 16000, subtype="pcm16")
+    assert loader.wav_len(path) == 777
+
+
+@pytest.mark.parametrize("n,target,shuffle", [(1000, 400, True), (1000, 400, False),
+                                              (100, 300, True)])
+def test_native_load_pair_matches_python(tmp_path, rng, n, target, shuffle):
+    """Fused C++ decode+remix+crop == the numpy chain for crop, center, pad."""
+    x = (rng.standard_normal(n) * 0.3).clip(-1, 1).astype(np.float32)
+    y = (rng.standard_normal(n) * 0.3).clip(-1, 1).astype(np.float32)
+    cp, np_ = str(tmp_path / "c.wav"), str(tmp_path / "n.wav")
+    write_wav(cp, x, 16000, subtype="float32")
+    write_wav(np_, y, 16000, subtype="float32")
+    u, fixed_snr = 0.63, 0.5
+    ox, oy = loader.load_pair(cp, np_, u, shuffle, fixed_snr, target)
+
+    # numpy reference: remix then crop/pad (Specs.__getitem__ contract)
+    yr = x + (y - x) * fixed_snr
+    pad = max(target - n, 0)
+    if pad == 0:
+        start = int(u * (n - target)) if shuffle else int((n - target) / 2)
+        rx, ry = x[start : start + target], yr[start : start + target]
+    else:
+        width = (pad // 2, pad // 2 + pad % 2)
+        rx = np.pad(x, width)
+        ry = np.pad(yr, width)
+    np.testing.assert_allclose(ox, rx, atol=1e-7)
+    np.testing.assert_allclose(oy, ry, atol=1e-6)
+
+
 @pytest.mark.parametrize("up,down,pad", [(1, 1, (0, 0)), (2, 1, (4, 2)), (1, 2, (1, 1))])
 def test_native_upfirdn2d_matches_numpy(rng, up, down, pad):
     x = rng.standard_normal((2, 3, 9, 11)).astype(np.float32)

@@ -1,0 +1,79 @@
+"""Serving CLI: load a checkpoint and run the HTTP enhancement server.
+
+Beyond-reference production surface (the reference's only inference entry is
+the eval.py file loop, sgmse-bbed/eval.py:126-132). Usage:
+
+    python serve.py --ckpt runs/my_model --port 8080
+    curl -s --data-binary @noisy.wav http://127.0.0.1:8080/enhance > out.wav
+    curl -s http://127.0.0.1:8080/stats
+
+Concurrent requests are pooled into MXU-aligned chunk batches by the dynamic
+batcher (diffse_tpu/serving/service.py); SNR-adaptive checkpoints estimate
+each request's SNR unless the client passes ``?est_snr=``.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None, block=True):
+    """``block=False`` starts the server and returns ``(server, service,
+    thread)`` for embedding/tests instead of joining forever."""
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", type=str, required=True,
+                        help="checkpoint directory (hparams.json + steps)")
+    parser.add_argument("--ckpt_step", type=int, default=None)
+    parser.add_argument("--monitor", type=str, default=None,
+                        help="pick best step by this metric instead of latest")
+    parser.add_argument("--snr_ckpt", type=str, default=None,
+                        help="SNR-estimator checkpoint for *_snr branches")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--chunk_frames", type=int, default=64)
+    parser.add_argument("--overlap_frames", type=int, default=2)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--max_flight_utts", type=int, default=16)
+    parser.add_argument("--max_wait_ms", type=float, default=25.0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from ..serving.http import make_server, serve_forever_in_thread
+    from ..serving.service import EnhanceService, ServiceConfig
+    from ..train.restore import load_score_model, load_snr_model
+    from ..train.state import eval_variables
+
+    snr_model = None
+    if args.snr_ckpt:
+        snr_m, snr_state = load_snr_model(args.snr_ckpt)
+        snr_model = (snr_m.dnn, eval_variables(snr_state))
+
+    model, state = load_score_model(
+        args.ckpt, step=args.ckpt_step, monitor=args.monitor,
+        snr_model=snr_model,
+    )
+    variables = eval_variables(state)  # EMA weights, as at eval (eval.py:98)
+
+    service = EnhanceService(model, variables, config=ServiceConfig(
+        chunk_frames=args.chunk_frames, overlap_frames=args.overlap_frames,
+        batch_size=args.batch_size, max_flight_utts=args.max_flight_utts,
+        max_wait_ms=args.max_wait_ms, seed=args.seed,
+    ))
+    server = make_server(service, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(f"serving {service.model_type} on http://{host}:{port} "
+          f"(POST /enhance, GET /healthz, GET /stats)", flush=True)
+    thread = serve_forever_in_thread(server)
+    if not block:
+        return server, service, thread
+    try:
+        thread.join()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

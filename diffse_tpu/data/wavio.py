@@ -31,9 +31,13 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     """
     with open(path, "rb") as f:
         raw = f.read()
+    return parse_wav(raw, name=path)
 
+
+def parse_wav(raw: bytes, name: str = "<bytes>") -> tuple[np.ndarray, int]:
+    """Parse in-memory WAV bytes (same contract as :func:`read_wav`)."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError(f"{path}: not a RIFF/WAVE file")
+        raise ValueError(f"{name}: not a RIFF/WAVE file")
 
     pos = 12
     fmt = None
@@ -49,7 +53,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
 
     if fmt is None or data is None:
-        raise ValueError(f"{path}: missing fmt/data chunk")
+        raise ValueError(f"{name}: missing fmt/data chunk")
 
     audio_format, channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
@@ -71,19 +75,14 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     elif audio_format == _WAVE_FORMAT_IEEE_FLOAT and bits == 32:
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
     else:
-        raise ValueError(f"{path}: unsupported WAV format tag={audio_format} bits={bits}")
+        raise ValueError(f"{name}: unsupported WAV format tag={audio_format} bits={bits}")
 
     x = x.reshape(-1, channels).T  # [channels, samples]
     return np.ascontiguousarray(x), sample_rate
 
 
-def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> None:
-    """Write a WAV file.
-
-    Args:
-        data: ``[samples]`` or ``[channels, samples]`` float array in [-1, 1].
-        subtype: "pcm16" or "float32".
-    """
+def wav_bytes(data: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> bytes:
+    """Serialize audio to in-memory WAV bytes (see :func:`write_wav`)."""
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[None, :]
@@ -104,13 +103,26 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm
     byte_rate = sample_rate * block_align
     fmt_chunk = struct.pack("<HHIIHH", fmt_tag, channels, sample_rate, byte_rate, block_align, bits)
 
+    parts = [
+        b"RIFF",
+        struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(payload)),
+        b"WAVE",
+        b"fmt ",
+        struct.pack("<I", len(fmt_chunk)),
+        fmt_chunk,
+        b"data",
+        struct.pack("<I", len(payload)),
+        payload,
+    ]
+    return b"".join(parts)
+
+
+def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> None:
+    """Write a WAV file.
+
+    Args:
+        data: ``[samples]`` or ``[channels, samples]`` float array in [-1, 1].
+        subtype: "pcm16" or "float32".
+    """
     with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(payload)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<I", len(fmt_chunk)))
-        f.write(fmt_chunk)
-        f.write(b"data")
-        f.write(struct.pack("<I", len(payload)))
-        f.write(payload)
+        f.write(wav_bytes(data, sample_rate, subtype))

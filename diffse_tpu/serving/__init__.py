@@ -1,0 +1,5 @@
+"""Production serving: dynamic request batching over the packed fleet engine
+plus an HTTP front end (beyond-reference; the reference's only inference
+surface is the eval.py file loop)."""
+
+from .service import EnhanceService, ServiceConfig  # noqa: F401

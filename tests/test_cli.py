@@ -327,3 +327,41 @@ def test_train_cli_tensor_parallel(dataset, tmp_path):
     with open(os.path.join(ckpt_dir, "metadata.json")) as f:
         meta = json.load(f)
     assert np.isfinite(meta["0"]["valid_loss"])
+
+
+@pytest.mark.slow
+def test_serve_cli_smoke(dataset, tmp_path):
+    """train -> serve CLI -> HTTP enhance round trip on the checkpoint."""
+    import urllib.request
+
+    from diffse_tpu.cli.serve import main as serve_main
+    from diffse_tpu.cli.train import main
+    from diffse_tpu.data.wavio import parse_wav, wav_bytes
+
+    ckpt_dir = str(tmp_path / "srun")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
+        "--ckpt_dir", ckpt_dir, "--no_mesh", "--seed", "0",
+        *TINY_ARGS,
+    ])
+
+    server, service, thread = serve_main(
+        ["--ckpt", ckpt_dir, "--port", "0", "--max_wait_ms", "10"], block=False)
+    host, port = server.server_address[:2]
+    try:
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(4000).astype(np.float32) * 0.1
+        req = urllib.request.Request(
+            f"http://{host}:{port}/enhance", data=wav_bytes(y, 16000, "float32"),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out, sr = parse_wav(r.read())
+        assert sr == 16000 and out.shape == (1, 4000)
+        assert np.all(np.isfinite(out))
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        service.close()

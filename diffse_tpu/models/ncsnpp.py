@@ -32,6 +32,22 @@ from .shared import BackboneRegistry
 conv1x1 = layers.conv1x1
 conv3x3 = layers.conv3x3
 
+# nn.remat-wrapped resblock classes, cached so every block shares one lifted
+# class. static_argnums counts the module itself as argument 0, so `train`
+# (x, temb, semb, train, [x2]) is position 4; x2 stays traced (it is a real
+# feature map on the up path).
+_REMAT_CACHE: dict = {}
+
+
+def _maybe_remat(cls, remat: bool):
+    if not remat:
+        return cls
+    wrapped = _REMAT_CACHE.get(cls)
+    if wrapped is None:
+        wrapped = nn.remat(cls, static_argnums=(4,))
+        _REMAT_CACHE[cls] = wrapped
+    return wrapped
+
 
 class NCSNppBase(nn.Module):
     """Generic NCSN++ with optional dual (time, noise) conditioning."""
@@ -81,6 +97,14 @@ class NCSNppBase(nn.Module):
     # the conv emitter's tiling. 0 = always use lax.conv. Param tree is
     # unchanged either way.
     matmul_conv_max_hw: int = 0
+    # jax.checkpoint (nn.remat) every residual block: the backward pass
+    # recomputes block activations instead of storing them, cutting training
+    # activation HBM from O(depth) feature maps to O(1) per level at ~1/3
+    # extra FLOPs — the TPU lever for larger nf/ch_mult/batch than HBM
+    # otherwise allows. Param tree and forward values are bit-identical to
+    # remat=False; gradients agree to float tolerance (the recomputed
+    # backward may reassociate reductions) — tests/test_backbones.py.
+    remat: bool = False
 
     @property
     def _compute_dtype(self):
@@ -90,14 +114,17 @@ class NCSNppBase(nn.Module):
             return jnp.bfloat16
         return self.dtype
 
-    def _resnet_block(self, act, out_ch=None, up=False, down=False):
+    def _resnet_block(self, act, out_ch=None, up=False, down=False, name=None):
         if self.resblock_type == "ddpm":
-            return layers.ResnetBlockDDPMpp(
+            cls = _maybe_remat(layers.ResnetBlockDDPMpp, self.remat)
+            return cls(
                 act=act, out_ch=out_ch, dropout=self.dropout,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
+                name=name,
             )
         elif self.resblock_type == "biggan":
-            return layers.ResnetBlockBigGANpp(
+            cls = _maybe_remat(layers.ResnetBlockBigGANpp, self.remat)
+            return cls(
                 act=act, out_ch=out_ch, up=up, down=down, dropout=self.dropout,
                 fir=self.fir, fir_kernel=self.fir_kernel,
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
@@ -105,6 +132,7 @@ class NCSNppBase(nn.Module):
                 pallas_gn_silu=(self.use_pallas_groupnorm
                                 and self.nonlinearity == "swish"),
                 matmul_conv_max_hw=self.matmul_conv_max_hw,
+                name=name,
             )
         raise ValueError(f"resblock type {self.resblock_type} unrecognized.")
 
@@ -176,17 +204,35 @@ class NCSNppBase(nn.Module):
         if not self.snr_conditioning:
             semb = None
 
+        # With remat on, the lifted class's auto-name would become
+        # "Checkpoint<Name>_k" — assign explicit names reproducing flax's
+        # call-order numbering so the param tree is identical either way.
+        _block_counter = {}
+
+        def _block_name(base: str):
+            if not self.remat:
+                return None
+            k = _block_counter.get(base, 0)
+            _block_counter[base] = k + 1
+            return f"{base}_{k}"
+
         def resblock(h_in, temb_, semb_, out_ch=None, up=False, down=False,
                      x2=None):
-            block = self._resnet_block(act, out_ch=out_ch, up=up, down=down)
             if self.resblock_type == "biggan":
+                block = self._resnet_block(
+                    act, out_ch=out_ch, up=up, down=down,
+                    name=_block_name("ResnetBlockBigGANpp"))
                 # x2 is the up-path skip tensor: the BigGAN block consumes it
                 # as a virtual concat without materializing the concat buffer
                 # (models/layers.py::_call_split) — exact math, less HBM.
-                return block(h_in, temb_, semb_, train=train, x2=x2)
+                # (train/x2 passed positionally: nn.remat static_argnums is
+                # positional, see _maybe_remat.)
+                return block(h_in, temb_, semb_, train, x2)
+            block = self._resnet_block(act, out_ch=out_ch, up=up, down=down,
+                                       name=_block_name("ResnetBlockDDPMpp"))
             if x2 is not None:
                 h_in = jnp.concatenate([h_in, x2], axis=-1)
-            return block(h_in, temb_, semb_, train=train)
+            return block(h_in, temb_, semb_, train)
 
         # --- down path --------------------------------------------------------
         input_pyramid = None
@@ -356,6 +402,11 @@ def _add_size_args(parser):
                         action="store_true", default=False)
     parser.add_argument("--fuse_pyramid", dest="fuse_pyramid",
                         action="store_true", default=False)
+    parser.add_argument("--remat", dest="remat", action="store_true",
+                        default=False,
+                        help="jax.checkpoint every resblock (recompute "
+                             "activations in backward; larger models/batches "
+                             "per chip at ~1/3 extra FLOPs)")
     return parser
 
 

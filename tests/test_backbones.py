@@ -308,3 +308,56 @@ def test_fuse_pyramid_flag_parity():
     o0 = np.asarray(m0.apply(v0, x, t))
     o1 = np.asarray(m1.apply(v0, x, t))
     np.testing.assert_allclose(o1, o0, atol=1e-4, rtol=1e-4)
+
+
+def test_ncsnpp_remat_bitexact_params_forward_grads():
+    """remat=True (jax.checkpoint every resblock) must leave the param tree
+    and forward values bit-identical, and gradients identical to float
+    tolerance (the rematerialized backward may reassociate reductions)."""
+    import numpy as np
+
+    cfg = dict(nf=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(8,),
+               image_size=16)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((rng.standard_normal((2, 2, 16, 16))
+                     + 1j * rng.standard_normal((2, 2, 16, 16))).astype(np.complex64))
+    t = jnp.asarray([0.5, 0.9], jnp.float32)
+
+    m0, m1 = NCSNpp(**cfg), NCSNpp(**cfg, remat=True)
+    v0 = m0.init(jax.random.PRNGKey(0), x, t)
+    v1 = m1.init(jax.random.PRNGKey(0), x, t)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1)), "remat changed the param tree"
+
+    o0 = np.asarray(m0.apply(v0, x, t))
+    o1 = np.asarray(m1.apply(v1, x, t))
+    np.testing.assert_array_equal(o0, o1)
+
+    def loss(m):
+        def f(v):
+            out = m.apply(v, x, t)
+            return jnp.sum(jnp.abs(out) ** 2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss(m0)))(v0)
+    g1 = jax.jit(jax.grad(loss(m1)))(v1)
+    scale = max(float(jnp.abs(a).max())
+                for a in jax.tree_util.tree_leaves(g0)) + 1e-30
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7 * scale)
+
+
+def test_ncsnpp_remat_composes_with_bf16():
+    import numpy as np
+
+    cfg = dict(nf=8, ch_mult=(1, 1), num_res_blocks=1, attn_resolutions=(0,),
+               image_size=16, dtype="bf16", remat=True)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray((rng.standard_normal((1, 2, 16, 16))
+                     + 1j * rng.standard_normal((1, 2, 16, 16))).astype(np.complex64))
+    t = jnp.asarray([0.7], jnp.float32)
+    m = NCSNpp(**cfg)
+    v = m.init(jax.random.PRNGKey(0), x, t)
+    out = jax.jit(m.apply)(v, x, t)
+    assert bool(jnp.all(jnp.isfinite(out.real)))

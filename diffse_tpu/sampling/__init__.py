@@ -134,7 +134,8 @@ def get_pc_sampler(
     def pc_sampler(key: jax.Array):
         prior_key, scan_key = jax.random.split(key)
         xt, _ = sde.prior_sampling(prior_key, y_prior)
-        ns = n_steps * (corrector.n_steps + 1)
+        ns = n_steps * (corrector.n_steps
+                        + getattr(predictor, "nfe_per_step", 1))
 
         if peel:
             def body(carry, _):

@@ -25,6 +25,9 @@ def _bc(a, x):
 class Predictor(abc.ABC):
     """Abstract predictor (sgmse/sampling/predictors.py:12-38)."""
 
+    #: score-function evaluations per update (for NFE accounting)
+    nfe_per_step = 1
+
     def __init__(self, sde, score_fn, probability_flow: bool = False):
         self.sde = sde
         self.rsde = sde.reverse(score_fn, probability_flow=probability_flow)
@@ -66,6 +69,47 @@ class ReverseDiffusionPredictor(Predictor):
     def update_mean(self, key, x, t, y, stepsize):
         f, _ = self.rsde.discretize(x, t, y, stepsize)
         return x - f
+
+
+@PredictorRegistry.register("heun")
+class HeunPredictor(Predictor):
+    """Second-order Heun (improved-Euler) probability-flow predictor —
+    beyond-reference capability in the style of EDM's deterministic sampler
+    (Karras et al. 2022, Alg. 1): integrate the probability-flow ODE
+    ``dx/dt = f - 0.5 G^2 score`` with a trapezoidal correction, giving
+    O(h^2) integration error vs O(h) for the first-order predictors. Two
+    score evaluations per step, but matched accuracy in ~half (or fewer)
+    steps nets fewer NFE overall (order of convergence asserted in
+    tests/test_sampling.py). Deterministic: no noise is injected and the
+    PRNG key is unused; pair with ``corrector='none'``.
+
+    The correction evaluation at ``t - h`` is clamped to a small floor and
+    the step falls back to plain Euler when ``t - h`` reaches it: the final
+    reverse step integrates to t=0, where 1/sigma(t)-scaled score networks
+    are singular (the reference's samplers likewise never evaluate at 0,
+    sgmse/sampling/__init__.py:64-69).
+    """
+
+    nfe_per_step = 2
+    T_FLOOR = 1e-5
+
+    def __init__(self, sde, score_fn, probability_flow: bool = True):
+        # The method is an ODE integrator: always use the probability flow.
+        super().__init__(sde, score_fn, probability_flow=True)
+
+    def update_fn(self, key, x, t, y, stepsize):
+        h = jnp.asarray(stepsize, dtype=jnp.float32)
+        d1, _ = self.rsde.sde(x, t, y)
+        x_euler = x - h * d1
+        t2 = t - h
+        d2, _ = self.rsde.sde(x_euler, jnp.maximum(t2, self.T_FLOOR), y)
+        x_heun = x - h * 0.5 * (d1 + d2)
+        use_heun = (t2 > self.T_FLOOR).reshape(t.shape + (1,) * (x.ndim - t.ndim))
+        x_new = jnp.where(use_heun, x_heun, x_euler)
+        return x_new, x_new
+
+    def update_mean(self, key, x, t, y, stepsize):
+        return self.update_fn(key, x, t, y, stepsize)[0]
 
 
 @PredictorRegistry.register("none")

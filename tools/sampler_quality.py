@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Characterize sampler quality vs NFE with a TRAINED net.
+
+Loads the convergence-demo checkpoint (tools/convergence_demo.py, bbed
+config) and measures enhancement quality (PESQ / SI-SDR / ESTOI vs clean) of
+the PC sampler across (predictor, corrector, N) configurations on held-out
+fixtures — grounding the NFE-reduction claims of the 2nd-order ``heun``
+predictor (sampling/predictors.py) in a measurement rather than only the
+toy-problem convergence-order test:
+
+  - reverse_diffusion + ald, N=30 (60 NFE): the reference's eval config
+    (sgmse-bbed/eval.py:126-132; model.py:22-23).
+  - reverse_diffusion + ald at reduced N (2 NFE per step).
+  - heun + none across N (2 NFE per step, deterministic).
+
+Usage:
+    JAX_PLATFORMS=cpu python tools/sampler_quality.py \
+        --work_dir /root/repo/.cache/convdemo [--num_files 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--work_dir", type=str,
+                        default="/root/repo/.cache/convdemo")
+    parser.add_argument("--num_files", type=int, default=6)
+    parser.add_argument("--eval_dir", type=str, default=None,
+                        help="clean/noisy pair dir (default <work_dir>/data/valid)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffse_tpu.data.wavio import read_wav
+    from diffse_tpu.evaluation.metrics import estoi, pesq_wb, si_sdr
+    from diffse_tpu.train.restore import load_score_model
+    from diffse_tpu.train.state import eval_variables
+
+    ckpt_dir = os.path.join(args.work_dir, "ckpts")
+    model, state = load_score_model(ckpt_dir)
+    variables = eval_variables(state)
+    if model.cfg.model_type != "bbed":
+        print(f"[sampq] checkpoint is model_type={model.cfg.model_type}; "
+              "this sweep needs the PC-sampler (bbed) branch", file=sys.stderr)
+        return 2
+    print(f"[sampq] loaded {ckpt_dir} "
+          f"(nf={model._backbone_kwargs.get('nf')})")
+
+    valid = args.eval_dir or os.path.join(args.work_dir, "data", "valid")
+    clean_files = sorted(
+        os.path.join(valid, "clean", f)
+        for f in os.listdir(os.path.join(valid, "clean"))
+    )[: args.num_files]
+
+    # (label, predictor, corrector, N, nfe)
+    configs = [
+        ("rd_ald_N30", "reverse_diffusion", "ald", 30, 60),  # reference config
+        ("rd_ald_N15", "reverse_diffusion", "ald", 15, 30),
+        ("rd_ald_N8", "reverse_diffusion", "ald", 8, 16),
+        ("heun_N30", "heun", "none", 30, 60),
+        ("heun_N15", "heun", "none", 15, 30),
+        ("heun_N8", "heun", "none", 8, 16),
+    ]
+
+    key = jax.random.PRNGKey(1234)
+
+    def score(x, x_hat):
+        n = min(len(x), len(x_hat))
+        return (pesq_wb(16000, x[:n], x_hat[:n]), float(si_sdr(x[:n], x_hat[:n])),
+                float(estoi(x[:n], x_hat[:n], 16000)))
+
+    rows = {}
+
+    def add(name, vals):
+        rows.setdefault(name, []).append(vals)
+
+    for i, cf in enumerate(clean_files):
+        nfle = cf.replace("/clean/", "/noisy/")
+        x, _ = read_wav(cf)
+        y, _ = read_wav(nfle)
+        x1, y1 = x[0], y[0]
+        k = jax.random.fold_in(key, i)
+        add("mixture", score(x1, y1))
+        for label, pred, corr, n_steps, _nfe in configs:
+            x_hat = model.enhance(
+                variables, jnp.asarray(x), jnp.asarray(y), key=k,
+                sampler_type="pc", predictor=pred, corrector=corr,
+                corrector_steps=1, N=n_steps, snr=0.5, oracle=False,
+                clean_rms=1, noise_rms=1,
+            )
+            add(label, score(x1, np.asarray(x_hat)))
+        print(f"[sampq] file {i + 1}/{len(clean_files)} done", flush=True)
+
+    def mean(name, j):
+        v = [r[j] for r in rows[name] if np.isfinite(r[j])]
+        return float(np.mean(v)) if v else float("nan")
+
+    ref_p, ref_s = mean("rd_ald_N30", 0), mean("rd_ald_N30", 1)
+    print(f"\n{'config':<12} {'nfe':>4} {'pesq':>7} {'si_sdr':>8} {'estoi':>7} "
+          f"{'dPESQ':>7} {'dSISDR':>8}")
+    results = {}
+    nfe_of = {c[0]: c[4] for c in configs}
+    for name in rows:
+        p, s, e = mean(name, 0), mean(name, 1), mean(name, 2)
+        dp = p - ref_p if name != "mixture" else 0.0
+        ds = s - ref_s if name != "mixture" else 0.0
+        nfe = nfe_of.get(name, 0)
+        results[name] = dict(nfe=nfe, pesq=round(p, 3), si_sdr=round(s, 2),
+                             estoi=round(e, 3), d_pesq=round(dp, 3),
+                             d_si_sdr=round(ds, 2))
+        print(f"{name:<12} {nfe:>4} {p:>7.3f} {s:>8.2f} {e:>7.3f} "
+              f"{dp:>7.3f} {ds:>8.2f}")
+
+    print("\nRESULT " + json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

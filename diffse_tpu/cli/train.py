@@ -103,6 +103,11 @@ def add_trainer_args(group):
                        help="Per-epoch validation enhances files in bucketed "
                             "batches of this size (1 = one at a time; "
                             "semantics identical, throughput only)")
+    group.add_argument("--accum_steps", type=int, default=1,
+                       help="Gradient accumulation: average grads over this "
+                            "many consecutive loader batches per optimizer "
+                            "step (effective batch = accum_steps*batch_size "
+                            "in one batch's HBM footprint)")
     return group
 
 
@@ -205,6 +210,7 @@ def main(argv=None):
         max_steps_per_epoch=args.max_steps_per_epoch,
         tp_size=args.tp_size,
         eval_batch_size=args.eval_batch_size,
+        accum_steps=args.accum_steps,
     )
 
 

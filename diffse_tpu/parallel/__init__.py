@@ -1,6 +1,7 @@
 from .mesh import (
     make_mesh,
     batch_sharding,
+    microbatch_sharding,
     replicated_sharding,
     shard_batch,
     replicate,
@@ -25,6 +26,7 @@ from .model_sharding import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "microbatch_sharding",
     "replicated_sharding",
     "shard_batch",
     "replicate",

@@ -36,13 +36,21 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def microbatch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard axis 1 over the mesh — for gradient-accumulation super-batches
+    whose axis 0 is the microbatch (scan) index and axis 1 the batch."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place a host batch (pytree of arrays) sharded on the batch axis."""
-    sh = batch_sharding(mesh, axis_name)
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data", spec=None):
+    """Place a host batch (pytree of arrays) sharded on the batch axis
+    (or with the explicit NamedSharding ``spec``, e.g. microbatch_sharding
+    for gradient-accumulation super-batches)."""
+    sh = spec if spec is not None else batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -22,7 +22,7 @@ import optax
 
 from ..evaluation.deep_inference import SNR_GRID, deep_evaluate_model
 from ..evaluation.inference import evaluate_model
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, microbatch_sharding, replicate, shard_batch
 from .checkpoints import CheckpointManager
 from .logging import MetricsLogger
 from .state import create_train_state, eval_variables
@@ -61,6 +61,28 @@ def _maybe_mesh(use_mesh: bool, batch_size: int, tp_size: int = 1):
     return make_mesh()
 
 
+def _stack_groups(loader, k: int):
+    """Group k consecutive loader batches into one super-batch with a leading
+    microbatch axis (k, b, ...) for gradient accumulation. A trailing group
+    that is incomplete or ragged (the epoch's short last batch) is dropped —
+    it would change the compiled shape."""
+    buf = []
+    for b in loader:
+        buf.append(b)
+        if len(buf) == k:
+            uniform = all(
+                np.shape(bb[i]) == np.shape(buf[0][i])
+                for bb in buf
+                for i in range(len(buf[0]))
+            )
+            if uniform:
+                yield tuple(
+                    np.stack([np.asarray(bb[i]) for bb in buf])
+                    for i in range(len(buf[0]))
+                )
+            buf = []
+
+
 def eval_model_type(snr_conditioned: str, model_type: str) -> str:
     """(snr_conditioned, model_type) -> evaluate_model branch name
     (model.py:409-426)."""
@@ -87,6 +109,7 @@ def train_score_model(
     variables=None,
     tp_size: int = 1,
     eval_batch_size: int = 1,
+    accum_steps: int = 1,
 ):
     """Train a ScoreModel; returns the final TrainState.
 
@@ -95,6 +118,9 @@ def train_score_model(
     on-device init compile); default None initializes from `seed`.
     `tp_size` > 1 trains tensor-parallel over a 2-D (data, model) mesh
     (beyond the reference's DP-only scaling; parallel/model_sharding.py).
+    `accum_steps` > 1 accumulates gradients over that many consecutive
+    loader batches before each optimizer step (effective batch
+    `accum_steps * batch_size` in the HBM footprint of one batch).
     """
     cfg = model.cfg
     logger = logger or MetricsLogger()
@@ -117,7 +143,7 @@ def train_score_model(
     train_step = make_train_step(
         model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
         preprocess=model.prepare_batch, donate=True,
-        state_sharding=state_sharding,
+        state_sharding=state_sharding, accum_steps=accum_steps,
     )
     valid_step = make_eval_step(model, preprocess=model.prepare_batch)
 
@@ -145,13 +171,19 @@ def train_score_model(
 
     for epoch in range(start_epoch, max_epochs):
         # ---- train epoch
-        for i, batch in enumerate(data_module.train_dataloader()):
+        loader = data_module.train_dataloader()
+        if accum_steps > 1:
+            loader = _stack_groups(loader, accum_steps)
+        for i, batch in enumerate(loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             key, step_key = jax.random.split(key)
             jbatch = tuple(jnp.asarray(b) for b in batch)
             if mesh is not None:
-                jbatch = shard_batch(mesh, jbatch)
+                jbatch = shard_batch(
+                    mesh, jbatch,
+                    spec=None if accum_steps <= 1 else microbatch_sharding(mesh),
+                )
             state, metrics = train_step(state, jbatch, step_key)
             if i % log_every_n_steps == 0:
                 logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},

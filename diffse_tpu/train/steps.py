@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import batch_sharding, replicated_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    microbatch_sharding,
+    replicated_sharding,
+)
 from .state import TrainState, ema_decay_schedule
 
 
@@ -32,26 +36,67 @@ def make_train_step(
     donate: bool = True,
     preprocess: Optional[Callable] = None,
     state_sharding=None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step for a ScoreModel/SNRModel-like object
     exposing ``loss_fn(variables, batch, key, train=True) -> (loss, updates)``.
 
     ``preprocess`` (e.g. ``model.prepare_batch``) runs *inside* the jit so the
     raw-waveform -> spectrogram chain fuses into the same XLA program.
+
+    ``accum_steps`` > 1 enables gradient accumulation (beyond the reference,
+    which only scales batch via DDP): the step then expects batch leaves with
+    a leading microbatch axis ``(accum_steps, b, ...)`` and runs one
+    ``lax.scan`` over the microbatches — forward+backward per microbatch,
+    grads averaged, ONE optimizer/EMA update. Peak activation memory is that
+    of a single microbatch, so effective batch ``accum_steps * b`` trains in
+    the HBM footprint of ``b`` (composes with ``--remat``). The per-microbatch
+    noise keys are ``jax.random.split(key, accum_steps)``.
     """
 
     def step_fn(state: TrainState, batch, key: jax.Array):
-        if preprocess is not None:
-            batch = preprocess(batch)
+        params0 = state.variables["params"]
+        others0 = {k: v for k, v in state.variables.items() if k != "params"}
 
-        def loss_of_params(params):
-            variables = {**state.variables, "params": params}
-            loss, updates = model.loss_fn(variables, batch, key, train=True)
-            return loss, updates
+        if accum_steps > 1:
+            keys = jax.random.split(key, accum_steps)
 
-        (loss, mutable_updates), grads = jax.value_and_grad(loss_of_params, has_aux=True)(
-            state.variables["params"]
-        )
+            def micro(carry, xs):
+                grads_sum, loss_sum, others = carry
+                mb, mkey = xs
+                if preprocess is not None:
+                    mb = preprocess(mb)
+
+                def loss_of_params(p):
+                    return model.loss_fn(
+                        {**others, "params": p}, mb, mkey, train=True
+                    )
+
+                (mloss, mupdates), mgrads = jax.value_and_grad(
+                    loss_of_params, has_aux=True
+                )(params0)
+                grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, mgrads)
+                # mutable collections (e.g. batch stats) update sequentially
+                return (grads_sum, loss_sum + mloss, {**others, **mupdates}), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params0)
+            (grads, loss_sum, mutable_updates), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros((), jnp.float32), others0), (batch, keys)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            loss = loss_sum / accum_steps
+        else:
+            if preprocess is not None:
+                batch = preprocess(batch)
+
+            def loss_of_params(params):
+                variables = {**state.variables, "params": params}
+                loss, updates = model.loss_fn(variables, batch, key, train=True)
+                return loss, updates
+
+            (loss, mutable_updates), grads = jax.value_and_grad(
+                loss_of_params, has_aux=True
+            )(params0)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.variables["params"]
         )
@@ -75,7 +120,8 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     rep = replicated_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    # With accumulation the batch axis is axis 1 (axis 0 = microbatch index).
+    bsh = batch_sharding(mesh) if accum_steps <= 1 else microbatch_sharding(mesh)
     # state_sharding (e.g. parallel.model_sharding.state_shardings for a 2-D
     # data x model mesh) overrides the replicated default: params/EMA/moments
     # live sharded on the 'model' axis and GSPMD places the collectives.

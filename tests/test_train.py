@@ -307,3 +307,100 @@ def test_model_parallel_step_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+def test_accum_step_matches_manual_average():
+    """accum_steps=k: one optimizer step from the k-microbatch-averaged grads,
+    per-microbatch keys = jax.random.split(step key, k)."""
+    model, opt, state = _model_and_state()
+    k = 2
+    b1 = _batch(jax.random.PRNGKey(1), b=2)
+    b2 = _batch(jax.random.PRNGKey(3), b=2)
+    super_batch = tuple(jnp.stack([a, c]) for a, c in zip(b1, b2))
+
+    step = make_train_step(model, opt, ema_decay=0.999, donate=False,
+                           accum_steps=k)
+    new_state, metrics = step(state, super_batch, jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+
+    # expected: plain-python accumulation with the same folded keys
+    keys = jax.random.split(jax.random.PRNGKey(2), k)
+    params = state.variables["params"]
+    others = {c: v for c, v in state.variables.items() if c != "params"}
+    grads_sum = None
+    loss_sum = 0.0
+    for i, mb in enumerate([b1, b2]):
+        def lo(p):
+            return model.loss_fn({**others, "params": p}, mb, keys[i],
+                                 train=True)
+        (loss, _), g = jax.value_and_grad(lo, has_aux=True)(params)
+        loss_sum += float(loss)
+        grads_sum = g if grads_sum is None else jax.tree_util.tree_map(
+            jnp.add, grads_sum, g)
+    grads = jax.tree_util.tree_map(lambda x: x / k, grads_sum)
+    updates, _ = opt.update(grads, state.opt_state, params)
+    expected_params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(float(metrics["train_loss"]), loss_sum / k,
+                               rtol=1e-5)
+    for a, e in zip(
+        jax.tree_util.tree_leaves(new_state.variables["params"]),
+        jax.tree_util.tree_leaves(expected_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-6)
+
+    # EMA uses the post-update params with the step-1 schedule decay
+    d = 2 / 11
+    p0 = jax.tree_util.tree_leaves(params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.variables["params"])[0]
+    e1 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
+    np.testing.assert_allclose(
+        np.asarray(e1), d * np.asarray(p0) + (1 - d) * np.asarray(p1),
+        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_accum_step_data_parallel_matches_single_device():
+    """Gradient accumulation composes with the data mesh: batch axis is
+    axis 1 of the (k, b, ...) super-batch."""
+    from diffse_tpu.parallel import microbatch_sharding
+
+    assert len(jax.devices()) == 8
+    model, opt, state = _model_and_state()
+    b1 = _batch(jax.random.PRNGKey(1), b=8)
+    b2 = _batch(jax.random.PRNGKey(3), b=8)
+    super_batch = tuple(jnp.stack([a, c]) for a, c in zip(b1, b2))
+
+    step_single = make_train_step(model, opt, donate=False, accum_steps=2)
+    s1, m1 = step_single(state, super_batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh()
+    step_dp = make_train_step(model, opt, mesh=mesh, donate=False,
+                              accum_steps=2)
+    state_dp = replicate(mesh, state)
+    batch_dp = shard_batch(mesh, super_batch,
+                           spec=microbatch_sharding(mesh))
+    s2, m2 = step_dp(state_dp, batch_dp, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m1["train_loss"]),
+                               float(m2["train_loss"]), rtol=1e-4)
+    p1 = jax.tree_util.tree_leaves(s1.variables["params"])[0]
+    p2 = jax.tree_util.tree_leaves(s2.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_stack_groups_drops_ragged_tail():
+    from diffse_tpu.train.loop import _stack_groups
+
+    batches = [
+        (np.ones((4, 3)), np.zeros((4,))),
+        (np.ones((4, 3)) * 2, np.zeros((4,))),
+        (np.ones((4, 3)) * 3, np.zeros((4,))),
+        (np.ones((2, 3)), np.zeros((2,))),  # short last batch -> ragged group
+    ]
+    groups = list(_stack_groups(iter(batches), 2))
+    assert len(groups) == 1
+    assert groups[0][0].shape == (2, 4, 3)
+    np.testing.assert_array_equal(groups[0][0][1], np.ones((4, 3)) * 2)

@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import signal
 from typing import Optional
 
 import jax
@@ -59,6 +60,37 @@ def _maybe_mesh(use_mesh: bool, batch_size: int, tp_size: int = 1):
               "running without data-parallel sharding")
         return None
     return make_mesh()
+
+
+class _PreemptionGuard:
+    """Preemption-safe training: TPU VMs receive SIGTERM shortly before the
+    machine is reclaimed. While installed, SIGTERM sets a flag instead of
+    killing the process; the train loop checks it each step, saves a final
+    checkpoint, and returns cleanly so `--resume` continues from it. (The
+    reference has no preemption story — Lightning just dies, train.py:120-125;
+    recovery there is manual resume from the last *epoch* checkpoint.)"""
+
+    def __init__(self):
+        self.triggered = False
+        self._prev = None
+        self._installed = False
+
+    def __enter__(self):
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+            self._installed = True
+        except ValueError:
+            # not the main thread (e.g. a test harness): run unguarded
+            self._installed = False
+        return self
+
+    def _on_signal(self, signum, frame):
+        self.triggered = True
+
+    def __exit__(self, *exc):
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
 
 
 def _stack_groups(loader, k: int):
@@ -169,7 +201,9 @@ def train_score_model(
     mt = eval_model_type(cfg.snr_conditioned, cfg.model_type)
     start_epoch = 0
 
-    for epoch in range(start_epoch, max_epochs):
+    guard = _PreemptionGuard()
+    with guard:
+      for epoch in range(start_epoch, max_epochs):
         # ---- train epoch
         loader = data_module.train_dataloader()
         if accum_steps > 1:
@@ -185,6 +219,14 @@ def train_score_model(
                     spec=None if accum_steps <= 1 else microbatch_sharding(mesh),
                 )
             state, metrics = train_step(state, jbatch, step_key)
+            if guard.triggered:
+                print(f"SIGTERM: checkpointing at step {int(state.step)} "
+                      "and exiting (resume with --resume)")
+                if ckpt_mgr is not None:
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    ckpt_mgr.save(epoch, host_state, {})
+                    ckpt_mgr.wait_until_finished()
+                return state
             if i % log_every_n_steps == 0:
                 logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
                            step=int(state.step))
@@ -289,7 +331,9 @@ def train_snr_model(
     if mesh is not None:
         state = replicate(mesh, state)
 
-    for epoch in range(max_epochs):
+    guard = _PreemptionGuard()
+    with guard:
+      for epoch in range(max_epochs):
         for i, batch in enumerate(data_module.train_dataloader()):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -298,6 +342,14 @@ def train_snr_model(
             if mesh is not None:
                 jbatch = shard_batch(mesh, jbatch)
             state, metrics = train_step(state, jbatch, step_key)
+            if guard.triggered:
+                print(f"SIGTERM: checkpointing at step {int(state.step)} "
+                      "and exiting (resume with --resume)")
+                if ckpt_mgr is not None:
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    ckpt_mgr.save(epoch, host_state, {})
+                    ckpt_mgr.wait_until_finished()
+                return state
             if i % log_every_n_steps == 0:
                 logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
                            step=int(state.step))

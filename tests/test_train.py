@@ -404,3 +404,62 @@ def test_stack_groups_drops_ragged_tail():
     assert len(groups) == 1
     assert groups[0][0].shape == (2, 4, 3)
     np.testing.assert_array_equal(groups[0][0][1], np.ones((4, 3)) * 2)
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    """Preemption safety: SIGTERM mid-epoch saves a checkpoint and returns
+    cleanly; a --resume run restores it."""
+    import signal as _signal
+
+    from diffse_tpu.train.loop import train_score_model
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", snr_conditioned="false",
+        model_type="sebridge_v2", sigma_max=1.0, num_eval_files=0,
+        n_fft=30, hop_length=8, num_frames=16,
+    )
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+
+    wav_len = (cfg.num_frames - 1) * cfg.hop_length
+    rng = np.random.default_rng(0)
+
+    class _TinyDM:
+        class cfg:
+            batch_size = 2
+
+        def setup(self, stage):
+            pass
+
+        def train_dataloader(self):
+            def gen():
+                for i in range(10):
+                    if i == 2:
+                        _signal.raise_signal(_signal.SIGTERM)
+                    x = rng.standard_normal((2, wav_len)).astype(np.float32)
+                    y = (x + 0.3 * rng.standard_normal((2, wav_len))).astype(
+                        np.float32)
+                    yield (x, y)
+            return gen()
+
+        def val_dataloader(self):
+            return []
+
+    ckpt_dir = str(tmp_path / "preempt")
+    state = train_score_model(
+        model, _TinyDM(), max_epochs=3, ckpt_dir=ckpt_dir, use_mesh=False,
+        seed=0,
+    )
+    # SIGTERM arrived while fetching batch i=2: that step still ran, then exit
+    assert int(state.step) == 3
+    # the guard restored the process-level handler on exit
+    assert _signal.getsignal(_signal.SIGTERM) is not None
+
+    resumed = train_score_model(
+        model, _TinyDM(), max_epochs=0, ckpt_dir=ckpt_dir, use_mesh=False,
+        seed=0, resume=True,
+    )
+    assert int(resumed.step) == 3
+    p_a = jax.tree_util.tree_leaves(state.variables["params"])[0]
+    p_b = jax.tree_util.tree_leaves(resumed.variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))

@@ -3,3 +3,4 @@ plus an HTTP front end (beyond-reference; the reference's only inference
 surface is the eval.py file loop)."""
 
 from .service import EnhanceService, ServiceConfig  # noqa: F401
+from .export import load_artifact, save_artifact  # noqa: F401

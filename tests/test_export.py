@@ -1,0 +1,101 @@
+"""AOT artifact export (diffse_tpu/serving/export.py): the serialized
+StableHLO program + npz weights must reproduce ScoreModel.enhance exactly
+through the framework-free loader."""
+
+import jax
+import numpy as np
+import pytest
+
+from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+from diffse_tpu.serving.export import (
+    _flatten_variables,
+    _unflatten_variables,
+    export_enhance,
+    load_artifact,
+    save_artifact,
+)
+
+TINY_BACKBONE = dict(nf=4, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(8,), image_size=256)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
+        snr_conditioned="false", sigma_max=1.0,
+    )
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52,
+                                       N=30))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    return model, variables
+
+
+def test_flatten_unflatten_roundtrip():
+    tree = {"params": {"Conv_0": {"kernel": np.ones((2, 3)),
+                                  "bias": np.zeros(3)},
+                       "GroupNorm_0": {"scale": np.full(4, 2.0)}}}
+    rt = _unflatten_variables(_flatten_variables(tree))
+    assert rt["params"]["Conv_0"]["kernel"].shape == (2, 3)
+    np.testing.assert_array_equal(rt["params"]["GroupNorm_0"]["scale"],
+                                  tree["params"]["GroupNorm_0"]["scale"])
+
+
+def test_artifact_matches_enhance_1nfe(tiny_model, tmp_path):
+    model, variables = tiny_model
+    rng = np.random.default_rng(0)
+    y = (rng.standard_normal(4800) * 0.1).astype(np.float32)
+
+    direct = model.enhance(variables, y[None], y[None],
+                           key=jax.random.PRNGKey(7))
+
+    out_dir = str(tmp_path / "artifact")
+    meta = save_artifact(out_dir, model, variables, "sebridge_v2",
+                         utt_samples=len(y), platforms=("cpu",))
+    assert meta["pad_samples"] == (64 - 1) * 128
+
+    enhance, meta2 = load_artifact(out_dir)
+    got = enhance(y, seed=7)
+    assert got.shape == direct.shape
+    np.testing.assert_allclose(got, direct, rtol=1e-6, atol=1e-7)
+    assert meta2["branch"] == "sebridge_v2"
+
+
+@pytest.mark.slow
+def test_artifact_matches_enhance_pc_sampler(tiny_model, tmp_path):
+    """Full PC-sampler program (scan over reverse steps) exports and agrees."""
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5,
+    )
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52,
+                                       N=3))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    rng = np.random.default_rng(1)
+    y = (rng.standard_normal(3000) * 0.1).astype(np.float32)
+
+    direct = model.enhance(variables, y[None], y[None],
+                           key=jax.random.PRNGKey(3), N=3)
+
+    out_dir = str(tmp_path / "artifact_pc")
+    save_artifact(out_dir, model, variables, "bbed_pc", utt_samples=len(y),
+                  n_steps=3, platforms=("cpu",))
+    enhance, _ = load_artifact(out_dir)
+    got = enhance(y, seed=3)
+    np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_multiplatform_export_lowers(tiny_model):
+    """Cross-platform lowering (tpu+cpu) must succeed from a CPU host —
+    the artifact is deploy-anywhere StableHLO (pure XLA ops)."""
+    model, variables = tiny_model
+    exported, bucket = export_enhance(
+        model, variables, "sebridge_v2", utt_samples=4800,
+        platforms=("tpu", "cpu"),
+    )
+    assert set(p.lower() for p in exported.platforms) == {"tpu", "cpu"}
+    assert bucket["t_pad"] == 64
+    data = exported.serialize()
+    assert len(data) > 1000

@@ -119,7 +119,7 @@ def save_artifact(
     model,
     variables,
     branch: str,
-    utt_samples: int,
+    utt_samples,
     n_steps: int = 30,
     predictor: str = "reverse_diffusion",
     corrector: str = "ald",
@@ -127,15 +127,32 @@ def save_artifact(
     oracle: bool = False,
     platforms: Sequence[str] = ("tpu", "cpu"),
 ) -> dict:
-    """Export + serialize the program, weights, and host contract to ``path``."""
-    exported, bucket = export_enhance(
-        model, variables, branch, utt_samples, n_steps=n_steps,
-        predictor=predictor, corrector=corrector,
-        corrector_steps=corrector_steps, oracle=oracle, platforms=platforms,
-    )
+    """Export + serialize the program(s), weights, and host contract to
+    ``path``. ``utt_samples`` may be an int or a sequence of ints — one
+    exported program per distinct width bucket; the loader serves each
+    utterance with the smallest bucket that fits (the same bucketing contract
+    as ``ScoreModel.enhance``, so a mixed-length fleet needs no recompiles)."""
+    lengths = ([utt_samples] if isinstance(utt_samples, (int, np.integer))
+               else list(utt_samples))
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, ARTIFACT_FILE), "wb") as f:
-        f.write(exported.serialize())
+    buckets = []
+    seen_tpad = set()
+    for us in sorted(int(v) for v in lengths):
+        exported, bucket = export_enhance(
+            model, variables, branch, us, n_steps=n_steps,
+            predictor=predictor, corrector=corrector,
+            corrector_steps=corrector_steps, oracle=oracle,
+            platforms=platforms,
+        )
+        if bucket["t_pad"] in seen_tpad:
+            continue  # two requested lengths fell into the same bucket
+        seen_tpad.add(bucket["t_pad"])
+        fname = f"enhance_t{bucket['t_pad']}.jaxexport"
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(exported.serialize())
+        buckets.append({"t_pad_frames": bucket["t_pad"],
+                        "pad_samples": bucket["pad_samples"],
+                        "file": fname})
     np.savez(os.path.join(path, WEIGHTS_FILE), **_flatten_variables(variables))
     meta = {
         "branch": branch,
@@ -145,9 +162,10 @@ def save_artifact(
         "corrector_steps": corrector_steps,
         "oracle": oracle,
         "platforms": list(platforms),
-        "utt_samples": utt_samples,
-        "pad_samples": bucket["pad_samples"],
-        "t_pad_frames": bucket["t_pad"],
+        "buckets": buckets,
+        # single-bucket convenience mirrors (back-compat with early artifacts)
+        "pad_samples": buckets[-1]["pad_samples"],
+        "t_pad_frames": buckets[-1]["t_pad_frames"],
         "hop_length": model.cfg.hop_length,
         "sample_rate": 16000,
         "model_type": model.cfg.model_type,
@@ -171,15 +189,20 @@ def load_artifact(path: str):
     import jax.numpy as jnp
     from jax import export as jexport
 
-    with open(os.path.join(path, ARTIFACT_FILE), "rb") as f:
-        exported = jexport.deserialize(bytearray(f.read()))
-    with np.load(os.path.join(path, WEIGHTS_FILE)) as z:
-        variables = _unflatten_variables({k: z[k] for k in z.files})
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
-
-    call = jax.jit(exported.call)
-    pad_samples = int(meta["pad_samples"])
+    buckets = meta.get("buckets") or [
+        {"pad_samples": meta["pad_samples"],
+         "t_pad_frames": meta["t_pad_frames"], "file": ARTIFACT_FILE}
+    ]
+    buckets = sorted(buckets, key=lambda b: b["pad_samples"])
+    calls = []
+    for b in buckets:
+        with open(os.path.join(path, b["file"]), "rb") as f:
+            exported = jexport.deserialize(bytearray(f.read()))
+        calls.append((int(b["pad_samples"]), jax.jit(exported.call)))
+    with np.load(os.path.join(path, WEIGHTS_FILE)) as z:
+        variables = _unflatten_variables({k: z[k] for k in z.files})
 
     def enhance(
         y_wav,
@@ -190,10 +213,15 @@ def load_artifact(path: str):
     ):
         y_wav = np.asarray(y_wav, dtype=np.float32).reshape(-1)
         t_orig = y_wav.shape[-1]
-        if t_orig > pad_samples:
+        pad_samples = call = None
+        for ps, c in calls:  # smallest bucket that fits
+            if t_orig <= ps:
+                pad_samples, call = ps, c
+                break
+        if call is None:
             raise ValueError(
                 f"utterance of {t_orig} samples exceeds this artifact's "
-                f"bucket ({pad_samples}); export a wider bucket"
+                f"largest bucket ({calls[-1][0]}); export a wider bucket"
             )
         x_in = y_wav if x_wav is None else np.asarray(
             x_wav, dtype=np.float32).reshape(-1)

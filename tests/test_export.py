@@ -99,3 +99,26 @@ def test_multiplatform_export_lowers(tiny_model):
     assert bucket["t_pad"] == 64
     data = exported.serialize()
     assert len(data) > 1000
+
+
+def test_multibucket_artifact_picks_smallest_fit(tiny_model, tmp_path):
+    model, variables = tiny_model
+    out_dir = str(tmp_path / "mb")
+    meta = save_artifact(out_dir, model, variables, "sebridge_v2",
+                         utt_samples=[4800, 20000], platforms=("cpu",))
+    pads = [b["pad_samples"] for b in meta["buckets"]]
+    assert pads == [(64 - 1) * 128, (192 - 1) * 128]
+
+    enhance, _ = load_artifact(out_dir)
+    rng = np.random.default_rng(2)
+    short = (rng.standard_normal(3000) * 0.1).astype(np.float32)
+    long = (rng.standard_normal(15000) * 0.1).astype(np.float32)
+    assert enhance(short, seed=1).shape == (3000,)
+    assert enhance(long, seed=1).shape == (15000,)
+    # short utterance must match the model's own bucket-64 enhancement
+    direct = model.enhance(variables, short[None], short[None],
+                           key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(enhance(short, seed=1), direct,
+                               rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError):
+        enhance(np.zeros(40000, np.float32))

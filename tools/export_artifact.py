@@ -26,9 +26,10 @@ def main(argv=None):
     parser.add_argument("--branch", type=str, default=None,
                         help="enhance branch (default: from the checkpoint's "
                              "model_type/snr_conditioned, PC sampler for bbed)")
-    parser.add_argument("--utt_seconds", type=float, default=8.0,
-                        help="max utterance length the artifact serves "
-                             "(defines the static width bucket)")
+    parser.add_argument("--utt_seconds", type=float, nargs="+", default=[8.0],
+                        help="utterance length(s) the artifact serves — one "
+                             "exported program per distinct width bucket; "
+                             "the loader picks the smallest that fits")
     parser.add_argument("--N", type=int, default=30)
     parser.add_argument("--predictor", type=str, default="reverse_diffusion")
     parser.add_argument("--corrector", type=str, default="ald")
@@ -55,7 +56,7 @@ def main(argv=None):
         else:
             branch = cfg.model_type
 
-    utt_samples = int(args.utt_seconds * 16000)
+    utt_samples = [int(s * 16000) for s in args.utt_seconds]
     meta = save_artifact(
         args.out, model, variables, branch, utt_samples,
         n_steps=args.N, predictor=args.predictor, corrector=args.corrector,
@@ -64,7 +65,8 @@ def main(argv=None):
     size = sum(
         os.path.getsize(os.path.join(args.out, f)) for f in os.listdir(args.out)
     )
-    print(f"exported {branch} (bucket {meta['pad_samples']} samples, "
+    buckets = [b["pad_samples"] for b in meta["buckets"]]
+    print(f"exported {branch} (buckets {buckets} samples, "
           f"platforms {meta['platforms']}) -> {args.out} "
           f"({size / 1e6:.1f} MB)")
     return 0

@@ -21,8 +21,13 @@ def main(argv=None, block=True):
     """``block=False`` starts the server and returns ``(server, service,
     thread)`` for embedding/tests instead of joining forever."""
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--ckpt", type=str, required=True,
+    parser.add_argument("--ckpt", type=str, default=None,
                         help="checkpoint directory (hparams.json + steps)")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="AOT artifact directory (tools/export_artifact.py)"
+                             " — serve the serialized program without any "
+                             "model code (no dynamic batching; *_snr branches "
+                             "need ?est_snr= from the client)")
     parser.add_argument("--ckpt_step", type=int, default=None)
     parser.add_argument("--monitor", type=str, default=None,
                         help="pick best step by this metric instead of latest")
@@ -42,6 +47,30 @@ def main(argv=None, block=True):
     from ..serving.service import EnhanceService, ServiceConfig
     from ..train.restore import load_score_model, load_snr_model
     from ..train.state import eval_variables
+
+    if (args.ckpt is None) == (args.artifact is None):
+        parser.error("exactly one of --ckpt / --artifact is required")
+
+    if args.artifact:
+        from ..serving.export import ArtifactService
+
+        service = ArtifactService(args.artifact, seed=args.seed)
+        server = make_server(service, host=args.host, port=args.port)
+        host, port = server.server_address[:2]
+        buckets = [b["pad_samples"] for b in service.meta.get("buckets", [])]
+        print(f"serving artifact {service.meta.get('branch')} "
+              f"(buckets {buckets}) on http://{host}:{port}", flush=True)
+        thread = serve_forever_in_thread(server)
+        if not block:
+            return server, service, thread
+        try:
+            thread.join()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            service.close()
+        return
 
     snr_model = None
     if args.snr_ckpt:

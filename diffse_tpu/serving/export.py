@@ -239,3 +239,63 @@ def load_artifact(path: str):
         return x_hat
 
     return enhance, meta
+
+
+class ArtifactService:
+    """``EnhanceService``-compatible facade over an AOT artifact directory —
+    the deployment-side server: per-request single-utterance enhancement from
+    the serialized program, no model code and no dynamic batching. ``*_snr``
+    artifacts have no estimator inside; clients supply ``est_snr``
+    (``?est_snr=`` on the HTTP front end), else 1.0.
+    """
+
+    def __init__(self, path: str, seed: int = 0):
+        import threading
+        import time as _time
+
+        self._enhance, self.meta = load_artifact(path)
+        self._seed = seed
+        self._lock = threading.Lock()
+        self._time = _time
+        self._stats = {"requests": 0, "audio_seconds": 0.0,
+                       "wall_seconds": 0.0, "errors": 0}
+
+    def enhance(self, y_wav, est_snr=None, timeout=None):
+        t0 = self._time.monotonic()
+        with self._lock:
+            seed = self._seed
+            self._seed += 1
+        try:
+            out = self._enhance(
+                y_wav, seed=seed,
+                est_snr=1.0 if est_snr is None else float(est_snr),
+            )
+        except Exception:
+            with self._lock:
+                self._stats["errors"] += 1
+            raise
+        wall = self._time.monotonic() - t0
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["audio_seconds"] += np.size(y_wav) / 16000.0
+            self._stats["wall_seconds"] += wall
+        return out
+
+    def stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+        s["rtf_x_realtime"] = (
+            s["audio_seconds"] / s["wall_seconds"] if s["wall_seconds"] else 0.0
+        )
+        s["buckets"] = [b["pad_samples"] for b in self.meta.get("buckets", [])]
+        s["branch"] = self.meta.get("branch")
+        return s
+
+    def close(self, timeout: float = 0.0) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False

@@ -122,3 +122,43 @@ def test_multibucket_artifact_picks_smallest_fit(tiny_model, tmp_path):
                                rtol=1e-6, atol=1e-7)
     with pytest.raises(ValueError):
         enhance(np.zeros(40000, np.float32))
+
+
+def test_artifact_http_serving(tiny_model, tmp_path):
+    """serve.py --artifact: the HTTP front end over the deserialized program
+    must return the artifact loader's exact output."""
+    import json
+    import urllib.request
+
+    from diffse_tpu.cli.serve import main as serve_main
+    from diffse_tpu.data.wavio import parse_wav, wav_bytes
+    from diffse_tpu.serving.export import load_artifact
+
+    model, variables = tiny_model
+    art = str(tmp_path / "art")
+    save_artifact(art, model, variables, "sebridge_v2", utt_samples=4800,
+                  platforms=("cpu",))
+
+    server, service, thread = serve_main(
+        ["--artifact", art, "--port", "0"], block=False)
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    rng = np.random.default_rng(3)
+    y = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    try:
+        req = urllib.request.Request(
+            base + "/enhance", data=wav_bytes(y, 16000, subtype="float32"),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            got, sr = parse_wav(r.read(), name="<resp>")
+        assert sr == 16000
+        enhance, _ = load_artifact(art)
+        expected = enhance(y, seed=0)  # the service's first request uses seed 0
+        np.testing.assert_allclose(got[0], expected, rtol=1e-6, atol=1e-7)
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1 and stats["branch"] == "sebridge_v2"
+    finally:
+        server.shutdown()
+        service.close()

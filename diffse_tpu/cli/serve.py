@@ -50,6 +50,13 @@ def main(argv=None, block=True):
 
     if (args.ckpt is None) == (args.artifact is None):
         parser.error("exactly one of --ckpt / --artifact is required")
+    if args.artifact and (args.snr_ckpt or args.ckpt_step is not None
+                          or args.monitor):
+        # no estimator / step selection exists inside an artifact — silently
+        # ignoring these would serve degraded output without warning
+        parser.error("--snr_ckpt/--ckpt_step/--monitor apply to --ckpt mode "
+                     "only; an artifact is a fixed program (clients pass "
+                     "?est_snr= for *_snr branches)")
 
     if args.artifact:
         from ..serving.export import ArtifactService

@@ -44,6 +44,7 @@ from ..transforms import (
     spec_back,
     spec_fwd,
     stft,
+    width_bucket,
 )
 from ..utils import randn_like
 from .shared import BackboneRegistry
@@ -679,9 +680,7 @@ class ScoreModel:
         # retraces per input shape, so passing raw lengths would recompile
         # the full 65M-param program per distinct length). The max-abs
         # normalizer ignores the zero tail; pad_spec inside becomes a no-op.
-        frames = 1 + t_orig // cfg.hop_length
-        t_pad = frames + (64 - frames % 64) % 64
-        pad_samples = (t_pad - 1) * cfg.hop_length
+        t_pad, pad_samples = width_bucket(t_orig, cfg.hop_length)
         if t_orig < pad_samples:
             pad = [(0, 0)] * (y.ndim - 1) + [(0, pad_samples - t_orig)]
             x = jnp.pad(x, pad)

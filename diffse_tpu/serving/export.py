@@ -61,12 +61,11 @@ def _unflatten_variables(flat):
 
 
 def _bucket(t_orig: int, hop_length: int) -> Tuple[int, int]:
-    """(t_pad frames, pad_samples) for an utterance of t_orig samples —
-    the same static width bucket ScoreModel.enhance uses
-    (models/score_model.py:682-684)."""
-    frames = 1 + t_orig // hop_length
-    t_pad = frames + (64 - frames % 64) % 64
-    return t_pad, (t_pad - 1) * hop_length
+    """(t_pad frames, pad_samples): the SAME width bucket ScoreModel.enhance
+    uses — one shared definition (transforms.width_bucket)."""
+    from ..transforms import width_bucket
+
+    return width_bucket(t_orig, hop_length)
 
 
 def export_enhance(
@@ -138,14 +137,16 @@ def save_artifact(
     buckets = []
     seen_tpad = set()
     for us in sorted(int(v) for v in lengths):
+        # dedupe BEFORE the expensive trace+lowering: two requested lengths
+        # often fall into the same 64-frame bucket
+        if _bucket(us, model.cfg.hop_length)[0] in seen_tpad:
+            continue
         exported, bucket = export_enhance(
             model, variables, branch, us, n_steps=n_steps,
             predictor=predictor, corrector=corrector,
             corrector_steps=corrector_steps, oracle=oracle,
             platforms=platforms,
         )
-        if bucket["t_pad"] in seen_tpad:
-            continue  # two requested lengths fell into the same bucket
         seen_tpad.add(bucket["t_pad"])
         fname = f"enhance_t{bucket['t_pad']}.jaxexport"
         with open(os.path.join(path, fname), "wb") as f:
@@ -203,6 +204,10 @@ def load_artifact(path: str):
         calls.append((int(b["pad_samples"]), jax.jit(exported.call)))
     with np.load(os.path.join(path, WEIGHTS_FILE)) as z:
         variables = _unflatten_variables({k: z[k] for k in z.files})
+    # upload the weights ONCE — per-request host->device transfer of the
+    # whole parameter set would dominate serving latency
+    variables = jax.device_put(variables)
+    hop = int(meta["hop_length"])
 
     def enhance(
         y_wav,
@@ -213,9 +218,16 @@ def load_artifact(path: str):
     ):
         y_wav = np.asarray(y_wav, dtype=np.float32).reshape(-1)
         t_orig = y_wav.shape[-1]
+        if t_orig == 0:
+            raise ValueError("empty waveform")
+        # Bucket by the enhance contract (width_bucket), not by raw length:
+        # when frames % 64 == 0 the bucket is up to hop-1 samples SHORTER
+        # than the utterance and the input is truncated (exactly what
+        # ScoreModel.enhance does, models/score_model.py:689-694).
+        needed = _bucket(t_orig, hop)[1]
         pad_samples = call = None
         for ps, c in calls:  # smallest bucket that fits
-            if t_orig <= ps:
+            if needed <= ps:
                 pad_samples, call = ps, c
                 break
         if call is None:
@@ -227,8 +239,8 @@ def load_artifact(path: str):
             x_wav, dtype=np.float32).reshape(-1)
         yb = np.zeros((1, pad_samples), np.float32)
         xb = np.zeros((1, pad_samples), np.float32)
-        yb[0, :t_orig] = y_wav
-        xb[0, : x_in.shape[-1]] = x_in[:pad_samples]
+        yb[0, : min(t_orig, pad_samples)] = y_wav[:pad_samples]
+        xb[0, : min(x_in.shape[-1], pad_samples)] = x_in[:pad_samples]
         x_hat, _nfe = call(
             variables, xb, yb, jnp.int32(seed),
             jnp.float32(est_snr), jnp.float32(snr),

@@ -89,7 +89,10 @@ class _PreemptionGuard:
 
     def __exit__(self, *exc):
         if self._installed:
-            signal.signal(signal.SIGTERM, self._prev)
+            # getsignal() returns None for handlers installed by non-Python
+            # code; signal.signal(None) would raise — fall back to SIG_DFL.
+            prev = self._prev if self._prev is not None else signal.SIG_DFL
+            signal.signal(signal.SIGTERM, prev)
         return False
 
 
@@ -180,6 +183,7 @@ def train_score_model(
     valid_step = make_eval_step(model, preprocess=model.prepare_batch)
 
     ckpt_mgr = None
+    start_epoch = 0
     if ckpt_dir:
         ckpt_mgr = CheckpointManager(
             ckpt_dir,
@@ -191,6 +195,11 @@ def train_score_model(
         )
         if resume and ckpt_mgr.latest_step() is not None:
             state = ckpt_mgr.restore(state)
+            # Continue the epoch numbering: checkpoint keys must strictly
+            # increase across resumes, or a later (mid-epoch) save under a
+            # reused small key is instantly outranked by the stale higher
+            # key and pruned — restore() would then return pre-resume state.
+            start_epoch = ckpt_mgr.latest_step() + 1
 
     if mesh is not None:
         if state_sharding is not None:
@@ -199,7 +208,19 @@ def train_score_model(
             state = replicate(mesh, state)
 
     mt = eval_model_type(cfg.snr_conditioned, cfg.model_type)
-    start_epoch = 0
+
+    def _preempt_exit(epoch):
+        step_no = int(state.step)
+        if ckpt_mgr is not None:
+            print(f"SIGTERM: checkpointing at step {step_no} and exiting "
+                  "(resume with --resume)")
+            host_state = jax.tree_util.tree_map(np.asarray, state)
+            ckpt_mgr.save(epoch, host_state, {})
+            ckpt_mgr.wait_until_finished()
+        else:
+            print(f"SIGTERM: exiting at step {step_no} "
+                  "(no --ckpt_dir, nothing checkpointed)")
+        return state
 
     guard = _PreemptionGuard()
     with guard:
@@ -220,16 +241,12 @@ def train_score_model(
                 )
             state, metrics = train_step(state, jbatch, step_key)
             if guard.triggered:
-                print(f"SIGTERM: checkpointing at step {int(state.step)} "
-                      "and exiting (resume with --resume)")
-                if ckpt_mgr is not None:
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
-                    ckpt_mgr.save(epoch, host_state, {})
-                    ckpt_mgr.wait_until_finished()
-                return state
+                return _preempt_exit(epoch)
             if i % log_every_n_steps == 0:
                 logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
                            step=int(state.step))
+        if guard.triggered:  # SIGTERM landed while fetching/stacking batches
+            return _preempt_exit(epoch)
 
         # ---- validation (EMA weights, model.py:120-134)
         ev = eval_variables(state)
@@ -280,6 +297,14 @@ def train_score_model(
         if ckpt_mgr is not None:
             host_state = jax.tree_util.tree_map(np.asarray, state)
             ckpt_mgr.save(epoch, host_state, sanitized)
+        if guard.triggered:
+            # SIGTERM landed during validation/eval: the end-of-epoch save
+            # above already captured this state (with metrics) — just exit.
+            print(f"SIGTERM during validation: exiting after the epoch-{epoch}"
+                  " checkpoint (resume with --resume)")
+            if ckpt_mgr is not None:
+                ckpt_mgr.wait_until_finished()
+            return state
 
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
@@ -320,6 +345,7 @@ def train_snr_model(
     )
 
     ckpt_mgr = None
+    start_epoch = 0
     if ckpt_dir:
         ckpt_mgr = CheckpointManager(
             ckpt_dir,
@@ -328,12 +354,26 @@ def train_snr_model(
         )
         if resume and ckpt_mgr.latest_step() is not None:
             state = ckpt_mgr.restore(state)
+            start_epoch = ckpt_mgr.latest_step() + 1  # keys must increase
     if mesh is not None:
         state = replicate(mesh, state)
 
+    def _preempt_exit(epoch):
+        step_no = int(state.step)
+        if ckpt_mgr is not None:
+            print(f"SIGTERM: checkpointing at step {step_no} and exiting "
+                  "(resume with --resume)")
+            host_state = jax.tree_util.tree_map(np.asarray, state)
+            ckpt_mgr.save(epoch, host_state, {})
+            ckpt_mgr.wait_until_finished()
+        else:
+            print(f"SIGTERM: exiting at step {step_no} "
+                  "(no --ckpt_dir, nothing checkpointed)")
+        return state
+
     guard = _PreemptionGuard()
     with guard:
-      for epoch in range(max_epochs):
+      for epoch in range(start_epoch, max_epochs):
         for i, batch in enumerate(data_module.train_dataloader()):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -343,16 +383,12 @@ def train_snr_model(
                 jbatch = shard_batch(mesh, jbatch)
             state, metrics = train_step(state, jbatch, step_key)
             if guard.triggered:
-                print(f"SIGTERM: checkpointing at step {int(state.step)} "
-                      "and exiting (resume with --resume)")
-                if ckpt_mgr is not None:
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
-                    ckpt_mgr.save(epoch, host_state, {})
-                    ckpt_mgr.wait_until_finished()
-                return state
+                return _preempt_exit(epoch)
             if i % log_every_n_steps == 0:
                 logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
                            step=int(state.step))
+        if guard.triggered:
+            return _preempt_exit(epoch)
 
         ev = eval_variables(state)
         accum = {"valid_loss": [], "snr_error": []}
@@ -366,6 +402,12 @@ def train_snr_model(
         if ckpt_mgr is not None:
             host_state = jax.tree_util.tree_map(np.asarray, state)
             ckpt_mgr.save(epoch, host_state, epoch_metrics)
+        if guard.triggered:
+            print(f"SIGTERM during validation: exiting after the epoch-{epoch}"
+                  " checkpoint (resume with --resume)")
+            if ckpt_mgr is not None:
+                ckpt_mgr.wait_until_finished()
+            return state
 
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()

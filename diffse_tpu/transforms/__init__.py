@@ -4,6 +4,7 @@ from .spec import (
     spec_back,
     pad_spec,
     pad_spec_16,
+    width_bucket,
     SpecTransformConfig,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "spec_back",
     "pad_spec",
     "pad_spec_16",
+    "width_bucket",
     "SpecTransformConfig",
 ]

@@ -91,3 +91,17 @@ def pad_spec_16(y: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad the time (last) axis to a multiple of 16 (SNRNet input contract,
     reference: sgmse/util/other.py:92-99)."""
     return _pad_time_axis(y, 16)
+
+
+def width_bucket(t_orig: int, hop_length: int):
+    """Static width bucket for an utterance of ``t_orig`` samples: frames
+    padded up to a multiple of 64 and the bucket's exact sample count.
+    Returns ``(t_pad_frames, pad_samples)``. THE one definition of the
+    enhance/artifact host pad contract (used by ScoreModel.enhance and
+    serving/export.py; reference padding: sgmse/utils.py:79-86). Note
+    ``pad_samples`` can be up to hop-1 SHORTER than ``t_orig`` when
+    frames %% 64 == 0 — callers truncate the input and zero-pad the output
+    tail (the reference's istft(length=T) does the same)."""
+    frames = 1 + t_orig // hop_length
+    t_pad = frames + (64 - frames % 64) % 64
+    return t_pad, (t_pad - 1) * hop_length

@@ -162,3 +162,24 @@ def test_artifact_http_serving(tiny_model, tmp_path):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_artifact_serves_truncation_bucket_lengths(tiny_model, tmp_path):
+    """Lengths with frames % 64 == 0 (t_orig up to hop-1 beyond pad_samples)
+    must be served by truncation — exactly ScoreModel.enhance's contract —
+    not rejected."""
+    model, variables = tiny_model
+    art = str(tmp_path / "edge")
+    meta = save_artifact(art, model, variables, "sebridge_v2",
+                         utt_samples=8100, platforms=("cpu",))
+    assert meta["buckets"][0]["pad_samples"] == 8064  # bucket < utterance
+    enhance, _ = load_artifact(art)
+    y = (np.random.default_rng(5).standard_normal(8100) * 0.1).astype(
+        np.float32)
+    got = enhance(y, seed=4)
+    direct = model.enhance(variables, y[None], y[None],
+                           key=jax.random.PRNGKey(4))
+    assert got.shape == (8100,)
+    np.testing.assert_allclose(got, direct, rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError):
+        enhance(np.zeros(0, np.float32))

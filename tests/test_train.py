@@ -463,3 +463,56 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     p_a = jax.tree_util.tree_leaves(state.variables["params"])[0]
     p_b = jax.tree_util.tree_leaves(resumed.variables["params"])[0]
     np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))
+
+
+def test_resume_continues_epoch_numbering(tmp_path):
+    """Checkpoint keys must strictly increase across resumes: a resumed run
+    starting over at epoch 0 would re-save under old keys and a later
+    mid-epoch (empty-metrics) save would be outranked by a stale higher key
+    and pruned — restore() would silently return pre-resume state."""
+    from diffse_tpu.train.loop import train_score_model
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", snr_conditioned="false",
+        model_type="sebridge_v2", sigma_max=1.0, num_eval_files=0,
+        n_fft=30, hop_length=8, num_frames=16,
+    )
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    wav_len = (cfg.num_frames - 1) * cfg.hop_length
+    rng = np.random.default_rng(0)
+
+    class _DM:
+        class cfg:
+            batch_size = 2
+
+        def setup(self, stage):
+            pass
+
+        def train_dataloader(self):
+            def gen():
+                for _ in range(2):
+                    x = rng.standard_normal((2, wav_len)).astype(np.float32)
+                    yield (x, (x + 0.3 * rng.standard_normal(
+                        (2, wav_len))).astype(np.float32))
+            return gen()
+
+        def val_dataloader(self):
+            return []
+
+    ckpt_dir = str(tmp_path / "epochs")
+    s1 = train_score_model(model, _DM(), max_epochs=2, ckpt_dir=ckpt_dir,
+                           use_mesh=False, seed=0)
+    assert int(s1.step) == 4
+
+    s2 = train_score_model(model, _DM(), max_epochs=4, ckpt_dir=ckpt_dir,
+                           use_mesh=False, seed=0, resume=True)
+    # resumed run trains epochs 2..3 on top of the restored 4 steps
+    assert int(s2.step) == 8
+
+    from diffse_tpu.train import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 3  # keys kept increasing across the resume
+    restored = mgr.restore(jax.tree_util.tree_map(np.asarray, s2))
+    assert int(restored.step) == 8  # latest checkpoint holds the NEW state

@@ -155,3 +155,48 @@ def test_http_server_roundtrip(rng):
         server.shutdown()
         thread.join(timeout=10)
         svc.close()
+
+
+@pytest.mark.slow
+def test_service_concurrency_stress(rng):
+    """Many client threads racing into flights: every request resolves, no
+    request is dropped or double-resolved, outputs keep their own lengths,
+    and the service survives interleaved stats() calls."""
+    model, variables = _model()
+    svc = EnhanceService(model, variables, config=ServiceConfig(
+        batch_size=8, max_flight_utts=4, max_wait_ms=10.0, seed=0))
+    lengths = [2000, 5000, 9000, 13000]
+    results = {}
+    errors = []
+    lock = threading.Lock()
+
+    def client(tid):
+        try:
+            local_rng = np.random.default_rng(tid)
+            w = (local_rng.standard_normal(lengths[tid % 4]) * 0.1).astype(
+                np.float32)
+            out = svc.enhance(w, timeout=600)
+            with lock:
+                results[tid] = (w.shape, out.shape,
+                                bool(np.isfinite(out).all()))
+            svc.stats()
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(12)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=900)
+        assert not errors, errors
+        assert len(results) == 12
+        for wshape, oshape, finite in results.values():
+            assert wshape == oshape and finite
+        stats = svc.stats()
+        assert stats["requests"] == 12
+        assert stats["errors"] == 0
+        assert 1 <= stats["flights"] <= 12
+    finally:
+        svc.close()

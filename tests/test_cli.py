@@ -365,3 +365,40 @@ def test_serve_cli_smoke(dataset, tmp_path):
         server.shutdown()
         thread.join(timeout=10)
         service.close()
+
+
+@pytest.mark.slow
+def test_export_artifact_cli(dataset, tmp_path):
+    """tools/export_artifact.py: checkpoint -> multi-bucket AOT artifact ->
+    framework-free loader round trip."""
+    from diffse_tpu.cli.train import main
+
+    ckpt_dir = str(tmp_path / "run_exp")
+    main([
+        "--backbone", "ncsnpp", "--sde", "bbed", "--modeltype", "sebridge_v2",
+        "--snr_conditioned", "false", "--base_dir", dataset,
+        "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
+        "--max_epochs", "1", "--max_steps_per_epoch", "1",
+        "--num_eval_files", "0", "--ckpt_dir", ckpt_dir, "--no_mesh",
+        *TINY_ARGS,
+    ])
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from export_artifact import main as export_main
+
+    art = str(tmp_path / "artifact")
+    rc = export_main(["--ckpt", ckpt_dir, "--out", art,
+                      "--utt_seconds", "0.3", "1.0",
+                      "--platforms", "cpu"])
+    assert rc == 0
+
+    from diffse_tpu.serving.export import load_artifact
+
+    enhance, meta = load_artifact(art)
+    assert meta["branch"] == "sebridge_v2"
+    assert len(meta["buckets"]) == 2
+    y = (np.random.default_rng(0).standard_normal(9000) * 0.1).astype(
+        np.float32)
+    out = enhance(y, seed=3)
+    assert out.shape == (9000,) and np.isfinite(out).all()

@@ -230,6 +230,12 @@ def ref_env():
         # the std back to float32 to reproduce the 1.10-era numerics.
         _orig_std = ref_sdes.BBED._std
         ref_sdes.BBED._std = lambda self, t: _orig_std(self, t).to(torch.float32)
+        # PROPOSED_1._std has the identical host-expi float64 promotion
+        # (sdes.py:369-376); same 1.10-era cast.
+        _orig_std_p1 = ref_sdes.PROPOSED_1._std
+        ref_sdes.PROPOSED_1._std = (
+            lambda self, t: _orig_std_p1(self, t).to(torch.float32)
+        )
 
         yield types.SimpleNamespace(
             ScoreModel=ref_model_mod.ScoreModel,
@@ -239,6 +245,7 @@ def ref_env():
     finally:
         try:
             sys.modules["sgmse.sdes"].BBED._std = _orig_std
+            sys.modules["sgmse.sdes"].PROPOSED_1._std = _orig_std_p1
         except Exception:
             pass
         torch.Tensor.cuda = orig_tensor_cuda
@@ -249,19 +256,26 @@ def ref_env():
 
 
 def _build_pair(ref_env, model_type, snr_conditioned, fixed_snr=1.0,
-                sigma_max=1.0, seed=0):
+                sigma_max=1.0, seed=0, sde="bbed", sde_kwargs=None):
     """Our ScoreModel (random flax init) + the reference ScoreModel loaded
-    with the CONVERTED identical weights."""
+    with the CONVERTED identical weights.
+
+    ``sde_kwargs`` are the SDE's constructor kwargs (identical names on both
+    sides — the registries mirror each other); default is the production BBED
+    configuration. The reference ctor splats them through **kwargs to its
+    SDERegistry lookup (sgmse/model.py:78-79)."""
     conv = _load_converter()
+    sde_kwargs = dict(
+        sde_kwargs or dict(T_sampling=0.999, k=2.6, theta=0.52)
+    )
 
     cfg = ScoreModelConfig(
-        backbone="ncsnpp", sde="bbed", model_type=model_type,
+        backbone="ncsnpp", sde=sde, model_type=model_type,
         snr_conditioned=snr_conditioned, fixed_snr=fixed_snr,
         sigma_max=sigma_max, t_eps=3e-2,
     )
     ours = ScoreModel(
-        cfg, backbone_kwargs=ARCH,
-        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+        cfg, backbone_kwargs=ARCH, sde_kwargs=dict(sde_kwargs, N=30),
     )
     variables = ours.init_variables(jax.random.PRNGKey(seed), num_frames=64)
 
@@ -271,12 +285,15 @@ def _build_pair(ref_env, model_type, snr_conditioned, fixed_snr=1.0,
     )
     sd = {k[len("dnn."):]: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
 
+    # the reference reads kwargs['sigma_max'] unconditionally (model.py:80);
+    # an SDE's own sigma_max (when present in sde_kwargs) takes precedence.
+    ref_kwargs = {"sigma_max": sigma_max, **sde_kwargs}
     ref = ref_env.ScoreModel(
-        backbone="ncsnpp", sde="bbed", model_type=model_type,
+        backbone="ncsnpp", sde=sde, model_type=model_type,
         snr_conditioned=snr_conditioned, fixed_snr=fixed_snr,
         data_module_cls=ref_env.SpecsDataModule,
         base_dir="", batch_size=1, num_workers=0, gpus=0,
-        T_sampling=0.999, k=2.6, theta=0.52, sigma_max=sigma_max, **ARCH,
+        **ref_kwargs, **ARCH,
     )
     missing, unexpected = ref.dnn.load_state_dict(sd, strict=True)
     assert not missing and not unexpected
@@ -383,6 +400,168 @@ def test_sebridge_v3_snr_oracle_enhance_waveform_parity(ref_env, monkeypatch):
         ref_wav = ref.enhance(
             torch.from_numpy(x)[None], torch.from_numpy(y)[None],
             oracle=True, clean_rms=clean_rms, noise_rms=noise_rms,
+        )
+
+    assert our_wav.shape == ref_wav.shape == (T_ORIG,)
+    err = _rel_err(ref_wav, our_wav)
+    assert err < 1e-4, f"waveform relative deviation {err:.2e}"
+
+
+@pytest.mark.slow
+def test_sebridge_enhance_waveform_parity(ref_env):
+    """Noise-free 1-NFE consistency inference (model.py:771-776): the sample
+    is f_theta(Y, 0.999, Y) — fully deterministic, so the two stacks must
+    agree with NO noise injection at all (normalization, STFT chain, c_skip/
+    c_out at t=0.999, spec_back + iSTFT)."""
+    ours, variables, ref = _build_pair(ref_env, "sebridge", "false")
+    x, y = _wav_pair(seed=4)
+
+    our_wav = ours.enhance(variables, x[None], y[None], key=jax.random.PRNGKey(17))
+
+    with torch.no_grad():
+        ref_wav = ref.enhance(
+            torch.from_numpy(x)[None], torch.from_numpy(y)[None]
+        )
+
+    assert our_wav.shape == ref_wav.shape == (T_ORIG,)
+    err = _rel_err(ref_wav, our_wav)
+    assert err < 1e-4, f"waveform relative deviation {err:.2e}"
+
+
+@pytest.mark.slow
+def test_sebridge_v2_snr_oracle_enhance_waveform_parity(ref_env, monkeypatch):
+    """SNR-conditioned sebridge_v2 1-NFE inference with an oracle SNR
+    (model.py:797-810): the Karras snap + Eq. 12 norm-factor correction
+    (model.py:726-740) composed with the noise_mag(X, Y, 'max')-scaled draw
+    Z = randn * z_mag * 0.999 and X_T = Y + Z. Exercises the one branch where
+    the clean spec X enters inference (through the noise magnitude)."""
+    ours, variables, ref = _build_pair(
+        ref_env, "sebridge_v2", "true", fixed_snr=0.31623, sigma_max=1.0
+    )
+    x, y = _wav_pair(seed=5)
+    key = jax.random.PRNGKey(19)
+    noise_rms, clean_rms = 0.4, 1.0
+
+    our_wav = ours.enhance(
+        variables, x[None], y[None], key=key,
+        oracle=True, clean_rms=clean_rms, noise_rms=noise_rms,
+    )
+
+    # our branch draws once: randn_like(key, Y) (score_model.py:586-593)
+    dummy = jnp.zeros(_spec_shape(), jnp.complex64)
+    _inject_torch_noise(monkeypatch, [np.asarray(randn_like(key, dummy))])
+    with torch.no_grad():
+        ref_wav = ref.enhance(
+            torch.from_numpy(x)[None], torch.from_numpy(y)[None],
+            oracle=True, clean_rms=clean_rms, noise_rms=noise_rms,
+        )
+
+    assert our_wav.shape == ref_wav.shape == (T_ORIG,)
+    err = _rel_err(ref_wav, our_wav)
+    assert err < 1e-4, f"waveform relative deviation {err:.2e}"
+
+
+@pytest.mark.slow
+def test_bbed_ode_enhance_waveform_parity(ref_env, monkeypatch):
+    """Probability-flow ODE enhancement: our on-device adaptive RK45
+    (sampling/ode.py, a port of scipy's RK45 controller) against the
+    reference's scipy.integrate.solve_ivp black-box path
+    (sampling/__init__.py:95-171), identical prior + denoise draws.
+
+    The two integrators run their own adaptive step controllers on top of
+    backbone evaluations that differ at float32 rounding, so the accepted
+    step sequences can differ — the tolerance is therefore looser than the
+    bit-parity PC tests (both solutions are rtol=1e-5 approximations of the
+    same flow)."""
+    ours, variables, ref = _build_pair(ref_env, "bbed", "false")
+    x, y = _wav_pair(seed=6)
+    key = jax.random.PRNGKey(23)
+
+    our_wav, nfe, _ = ours.enhance(
+        variables, x[None], y[None], key=key, sampler_type="ode", timeit=True
+    )
+    assert nfe >= 8  # adaptive solver really ran (not a fixed-step fallback)
+
+    # our draw order (sampling/__init__.py:204-215): prior from split(key)[0],
+    # then the denoise predictor's (discarded) noise from split(key)[1]; the
+    # reference consumes torch.randn_like in the same order
+    # (sdes.py:298-302, then predictors.py:70-80 inside denoise_update_fn).
+    prior_key, denoise_key = jax.random.split(key)
+    dummy = jnp.zeros(_spec_shape(), jnp.complex64)
+    _inject_torch_noise(monkeypatch, [
+        np.asarray(randn_like(prior_key, dummy)),
+        np.asarray(randn_like(denoise_key, dummy)),
+    ])
+    with torch.no_grad():
+        # device="cpu" threads through enhance **kwargs -> get_ode_sampler
+        # (model.py:574-582 -> sampling/__init__.py:95-99), overriding the
+        # sampler's hard-coded device='cuda' default (its .to(device) calls
+        # are Tensor.to, which the fixture's Module.to patch doesn't cover).
+        ref_wav = ref.enhance(
+            torch.from_numpy(x)[None], torch.from_numpy(y)[None],
+            sampler_type="ode", device="cpu",
+        )
+
+    assert our_wav.shape == ref_wav.shape == (T_ORIG,)
+    err = _rel_err(ref_wav, our_wav)
+    assert err < 5e-3, f"waveform relative deviation {err:.2e}"
+
+
+@pytest.mark.slow
+def test_ouve_pc_enhance_waveform_parity(ref_env, monkeypatch):
+    """10-step PC sampling under the OUVE SDE (sdes.py:149-235): extends the
+    executed-reference parity evidence beyond BBED to the OU/VE family —
+    exponential-interpolation mean, the sigma_min(sigma_max/sigma_min)^t
+    diffusion, its closed-form std, and the reverse discretization, all
+    through the same predictor/corrector loop."""
+    N = 10
+    ours, variables, ref = _build_pair(
+        ref_env, "bbed", "false",
+        sde="ouve", sde_kwargs=dict(theta=1.5, sigma_min=0.05, sigma_max=0.5),
+        sigma_max=0.5,
+    )
+    x, y = _wav_pair(seed=8)
+    key = jax.random.PRNGKey(29)
+
+    our_wav = ours.enhance(variables, x[None], y[None], key=key, N=N)
+
+    draws = _replay_pc_draws(key, n_steps=N)
+    _inject_torch_noise(monkeypatch, draws)
+    with torch.no_grad():
+        ref_wav = ref.enhance(
+            torch.from_numpy(x)[None], torch.from_numpy(y)[None], N=N
+        )
+
+    assert our_wav.shape == ref_wav.shape == (T_ORIG,)
+    err = _rel_err(ref_wav, our_wav)
+    assert err < 1e-4, f"waveform relative deviation {err:.2e}"
+
+
+@pytest.mark.slow
+def test_proposed_1_pc_enhance_waveform_parity(ref_env, monkeypatch):
+    """6-step PC sampling under PROPOSED_1 (sdes.py:314-392), the
+    sigma_min/sigma_max reparameterization of BBED with T_sampling=0.99 —
+    covers its linear-bridge mean, the sigma_max*t diffusion quirk we
+    deliberately reproduce (our sde/__init__.py PROPOSED_1 docstring), and
+    the expi-based variance, against the executing reference."""
+    N = 6
+    ours, variables, ref = _build_pair(
+        ref_env, "bbed", "false",
+        sde="proposed_1",
+        sde_kwargs=dict(T_sampling=0.99, sigma_min=1.0, sigma_max=2.6,
+                        theta=0.53),
+        sigma_max=1.0,
+    )
+    x, y = _wav_pair(seed=9)
+    key = jax.random.PRNGKey(31)
+
+    our_wav = ours.enhance(variables, x[None], y[None], key=key, N=N)
+
+    draws = _replay_pc_draws(key, n_steps=N)
+    _inject_torch_noise(monkeypatch, draws)
+    with torch.no_grad():
+        ref_wav = ref.enhance(
+            torch.from_numpy(x)[None], torch.from_numpy(y)[None], N=N
         )
 
     assert our_wav.shape == ref_wav.shape == (T_ORIG,)

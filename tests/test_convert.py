@@ -278,3 +278,93 @@ def test_forward_parity_vs_reference_full_size():
     scale = np.max(np.abs(ref_out))
     err = np.max(np.abs(ours - ref_out)) / scale
     assert err < 1e-3, f"relative deviation {err:.2e}"
+
+
+def test_cli_end_to_end_roundtrip(tmp_path):
+    """The converter CLI (`main`) turns a fabricated Lightning-style .ckpt —
+    state_dict + hyper_parameters + torch_ema shadow list — into an orbax
+    checkpoint directory that `load_score_model` restores exactly.
+
+    Exercises the real-checkpoint EMA contract: torch_ema's shadow_params
+    are ordered like [p for p in parameters() if p.requires_grad], which
+    EXCLUDES the requires_grad=False GFP `W` (reference layerspp.py:37), and
+    loaded state-dict tensors carry no requires_grad flags at all — the
+    trainable key set must come from the correspondence, not the tensors."""
+    torch = pytest.importorskip("torch")
+
+    from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
+    from diffse_tpu.train.restore import load_score_model
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="sebridge_v2",
+        snr_conditioned="false", fixed_snr=1.0, sigma_max=1.0,
+    )
+    ours = ScoreModel(
+        cfg, backbone_kwargs=TINY,
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+    )
+    variables = ours.init_variables(
+        jax.random.PRNGKey(3), num_frames=16, num_freq_bins=16
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    ema = jax.tree_util.tree_map(lambda a: (0.5 * a).astype(a.dtype), params)
+
+    corr = conv.ncsnpp_correspondence(**TINY)
+    sd = conv.convert_flax_to_state_dict(params, corr)
+    sd_ema = conv.convert_flax_to_state_dict(ema, corr)
+    gfp_w = {f"dnn.{tp}.W" for tp, _, kind in corr if kind == "gfp"}
+    assert gfp_w, "expected at least the time-embedding GFP in the mapping"
+    state_dict = {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()
+    }
+    shadow = [
+        torch.from_numpy(np.ascontiguousarray(sd_ema[k]))
+        for k in state_dict if k not in gfp_w
+    ]
+    ckpt_path = os.path.join(str(tmp_path), "ref.ckpt")
+    torch.save(
+        {
+            "state_dict": state_dict,
+            "hyper_parameters": dict(
+                sde="bbed", model_type="sebridge_v2", snr_conditioned="false",
+                fixed_snr=1.0, sigma_max=1.0, k=2.6, theta=0.52,
+                T_sampling=0.999,
+            ),
+            "ema": {"shadow_params": shadow},
+        },
+        ckpt_path,
+    )
+
+    out_dir = os.path.join(str(tmp_path), "converted")
+    argv = ["--torch_ckpt", ckpt_path, "--out_dir", out_dir, "--ema"]
+    for k, v in TINY.items():
+        argv += ["--arch", f"{k}={v!r}"]
+    conv.main(argv)
+
+    model2, state = load_score_model(out_dir)
+    assert model2.cfg.model_type == "sebridge_v2"
+    assert model2.cfg.snr_conditioned == "false"
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.variables["params"], params,
+    )
+    # EMA restores the scaled tree except the GFP W, which is not
+    # EMA-tracked and carries the live value.
+    expected_ema = jax.tree_util.tree_map(lambda a: a, ema)
+    expected_ema["time_embed"]["W"] = params["time_embed"]["W"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.ema_params, expected_ema,
+    )
+
+    # the restored model scores identically to the source model
+    x = jnp.asarray(
+        (np.random.default_rng(0).standard_normal((1, 1, 16, 16))
+         + 1j * np.random.default_rng(1).standard_normal((1, 1, 16, 16))
+         ).astype(np.complex64)
+    )
+    t = jnp.asarray([0.5], jnp.float32)
+    out1, _ = ours.forward(variables, x, t, x)
+    out2, _ = model2.forward({"params": state.variables["params"]}, x, t, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)

@@ -263,6 +263,18 @@ def convert_flax_to_state_dict(
     return state_dict
 
 
+# Per-SDE constructor kwargs: defaults first, then overridden by matching
+# entries in the checkpoint's hyper_parameters (the reference serializes its
+# SDE args there via save_hyperparameters, sgmse/model.py:93).
+_SDE_DEFAULTS = {
+    "bbed": dict(k=2.6, theta=0.52, T_sampling=0.999),
+    "bbve": dict(sigma_min=0.05, sigma_max=2.6, theta=0.52, T_sampling=0.999),
+    "ouve": dict(theta=1.5, sigma_min=0.05, sigma_max=0.5),
+    "proposed_1": dict(T_sampling=0.99, sigma_min=1.0, sigma_max=1.0,
+                       theta=0.53),
+}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--torch_ckpt", type=str, required=True,
@@ -271,27 +283,51 @@ def main(argv=None):
                         help="Output CheckpointManager directory")
     parser.add_argument("--ema", action="store_true",
                         help="Also convert EMA shadow params")
+    parser.add_argument("--arch", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="Backbone architecture overrides, e.g. "
+                             "--arch nf=8 --arch 'ch_mult=(1, 2)' "
+                             "(default: the production 65M NCSN++ config)")
     args = parser.parse_args(argv)
 
+    import ast
+
     import torch  # local import: only needed for real conversions
+
+    arch = {}
+    for kv in args.arch:
+        k, _, v = kv.partition("=")
+        try:
+            arch[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            arch[k] = v
 
     ckpt = torch.load(args.torch_ckpt, map_location="cpu")
     state_dict = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
     hp = ckpt.get("hyper_parameters", {})
 
-    corr = ncsnpp_correspondence()
+    corr = ncsnpp_correspondence(**arch)
     params = convert_state_dict_to_flax(state_dict, corr)
 
     ema_params = params
     if args.ema and "ema" in ckpt:
-        shadow = [p.numpy() for p in ckpt["ema"]["shadow_params"]]
-        # shadow params are ordered like model.parameters(); rebuild a
-        # state_dict with the same keys (parameters() order == state_dict
-        # order for parameters, buffers excluded)
-        param_keys = [k for k, v in ckpt["state_dict"].items() if v.requires_grad] \
-            if hasattr(next(iter(ckpt["state_dict"].values())), "requires_grad") \
-            else list(state_dict.keys())
+        # torch_ema's shadow_params are ordered like
+        # [p for p in model.parameters() if p.requires_grad] — the state_dict
+        # key order minus the requires_grad=False GFP `W` parameters
+        # (layerspp.py:37; torch_ema filters non-trainable params at ctor).
+        # Loaded state-dict tensors never carry requires_grad, so the
+        # trainable set is reconstructed from the correspondence instead.
+        shadow = [np.asarray(p) for p in ckpt["ema"]["shadow_params"]]
+        gfp_w = {f"dnn.{tp}.W" for tp, _, kind in corr if kind == "gfp"}
+        param_keys = [k for k in state_dict if k not in gfp_w]
+        if len(param_keys) != len(shadow):
+            raise ValueError(
+                f"EMA shadow count {len(shadow)} != trainable param count "
+                f"{len(param_keys)} — wrong --arch for this checkpoint?"
+            )
         ema_sd = dict(zip(param_keys, shadow))
+        for k in gfp_w:  # not EMA-tracked: carry the live value over
+            ema_sd[k] = state_dict[k]
         ema_params = convert_state_dict_to_flax(ema_sd, corr)
 
     import jax
@@ -309,13 +345,19 @@ def main(argv=None):
         fixed_snr=float(hp.get("fixed_snr", 1.0)),
         sigma_max=float(hp.get("sigma_max", 1.0)),
     )
-    model = ScoreModel(cfg, sde_kwargs={"k": 2.6, "theta": 0.52, "T_sampling": 0.999}
-                       if cfg.sde == "bbed" else {})
+    sde_kwargs = {
+        k: float(hp[k]) if k in hp else v
+        for k, v in _SDE_DEFAULTS.get(cfg.sde, {}).items()
+    }
+    model = ScoreModel(cfg, backbone_kwargs=arch, sde_kwargs=sde_kwargs)
     state = create_train_state({"params": params}, optax.adam(cfg.lr))
     state = state.replace(ema_params=ema_params)
 
     mgr = CheckpointManager(args.out_dir, hparams=model.hparams)
     mgr.save(0, jax.tree_util.tree_map(np.asarray, state), {})
+    # save() dispatches an ASYNC orbax write — join it before returning, or
+    # a short-lived CLI process can exit with the checkpoint uncommitted.
+    mgr.close()
     print(f"converted checkpoint written to {args.out_dir}")
 
 

@@ -288,6 +288,11 @@ def main(argv=None):
                         help="Backbone architecture overrides, e.g. "
                              "--arch nf=8 --arch 'ch_mult=(1, 2)' "
                              "(default: the production 65M NCSN++ config)")
+    parser.add_argument("--kind", choices=["score", "snrnet"], default="score",
+                        help="Checkpoint family: the score ScoreModel "
+                             "(default) or the SNR-estimator SNRModel "
+                             "(the reference's snr_estimator.ckpt, "
+                             "sgmse/model.py:25-30)")
     args = parser.parse_args(argv)
 
     import ast
@@ -305,6 +310,40 @@ def main(argv=None):
     ckpt = torch.load(args.torch_ckpt, map_location="cpu")
     state_dict = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
     hp = ckpt.get("hyper_parameters", {})
+
+    import jax
+    import optax
+
+    from diffse_tpu.train.checkpoints import CheckpointManager
+    from diffse_tpu.train.state import create_train_state
+
+    if args.kind == "snrnet":
+        from diffse_tpu.models.snr_model import SNRModel, SNRModelConfig
+
+        params = snrnet_state_dict_to_flax(state_dict)
+        ema_params = params
+        if args.ema and "ema" in ckpt:
+            # SNRNet has no requires_grad=False params, so the torch_ema
+            # shadow list is the full state_dict in registration order.
+            shadow = [np.asarray(p) for p in ckpt["ema"]["shadow_params"]]
+            if len(shadow) != len(state_dict):
+                raise ValueError(
+                    f"EMA shadow count {len(shadow)} != param count "
+                    f"{len(state_dict)}"
+                )
+            ema_params = snrnet_state_dict_to_flax(
+                dict(zip(state_dict.keys(), shadow))
+            )
+        model = SNRModel(SNRModelConfig(
+            transform_type=str(hp.get("transform_type", "none")),
+        ))
+        state = create_train_state({"params": params}, optax.adam(model.cfg.lr))
+        state = state.replace(ema_params=ema_params)
+        mgr = CheckpointManager(args.out_dir, hparams=model.hparams)
+        mgr.save(0, jax.tree_util.tree_map(np.asarray, state), {})
+        mgr.close()
+        print(f"converted SNR-estimator checkpoint written to {args.out_dir}")
+        return
 
     corr = ncsnpp_correspondence(**arch)
     params = convert_state_dict_to_flax(state_dict, corr)
@@ -330,12 +369,7 @@ def main(argv=None):
             ema_sd[k] = state_dict[k]
         ema_params = convert_state_dict_to_flax(ema_sd, corr)
 
-    import jax
-    import optax
-
     from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
-    from diffse_tpu.train.checkpoints import CheckpointManager
-    from diffse_tpu.train.state import create_train_state
 
     cfg = ScoreModelConfig(
         backbone="ncsnpp",

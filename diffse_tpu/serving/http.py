@@ -22,24 +22,33 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from ..data.wavio import parse_wav, wav_bytes
-from .service import EnhanceService
+from .service import (EnhanceService, FlightTimeout, RequestTooLarge,
+                      ServiceOverloaded)
 
 
 def make_server(service: EnhanceService, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
+                port: int = 0,
+                max_body_bytes: int = 64 * 1024 * 1024) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` picks a free one
-    (read it back from ``server.server_address``)."""
+    (read it back from ``server.server_address``).
+
+    ``max_body_bytes`` caps the request body (rejected with 413 before the
+    body is read). Service-level failures map to status codes:
+    RequestTooLarge -> 413, ServiceOverloaded -> 503 (with Retry-After),
+    FlightTimeout -> 504, other ValueError -> 400, anything else -> 500."""
 
     class Handler(BaseHTTPRequestHandler):
         # quiet default request logging; /stats is the observability surface
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
-        def _send_json(self, code: int, obj) -> None:
+        def _send_json(self, code: int, obj, headers=()) -> None:
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -59,11 +68,33 @@ def make_server(service: EnhanceService, host: str = "127.0.0.1",
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if length <= 0:
+                self._send_json(411, {"error": "Content-Length required"})
+                return
+            if length > max_body_bytes:
+                self._send_json(413, {
+                    "error": f"request body {length} bytes exceeds "
+                             f"max_body_bytes={max_body_bytes}"})
+                return
+            try:
                 raw = self.rfile.read(length)
                 data, sr = parse_wav(raw, name="<request>")
                 q = parse_qs(url.query)
                 est_snr = float(q["est_snr"][0]) if "est_snr" in q else None
                 out = service.enhance(data[0], est_snr=est_snr)
+            except RequestTooLarge as e:
+                self._send_json(413, {"error": str(e)})
+                return
+            except ServiceOverloaded as e:
+                self._send_json(503, {"error": str(e)},
+                                headers=(("Retry-After", "1"),))
+                return
+            except FlightTimeout as e:
+                self._send_json(504, {"error": str(e)})
+                return
             except ValueError as e:
                 self._send_json(400, {"error": str(e)})
                 return

@@ -40,10 +40,41 @@ import jax
 import numpy as np
 
 
+class RequestTooLarge(ValueError):
+    """Request audio exceeds ``ServiceConfig.max_audio_seconds`` (HTTP 413)."""
+
+
+class ServiceOverloaded(RuntimeError):
+    """Queue full or the request aged out before dispatch (HTTP 503)."""
+
+
+class FlightTimeout(RuntimeError):
+    """A flight exceeded ``ServiceConfig.flight_timeout_s`` (HTTP 504)."""
+
+
 @dataclasses.dataclass
 class ServiceConfig:
     """Serving knobs (defaults are the measured production settings:
-    chunk 64 / overlap 2 / batch 16, DEVNOTES round 3)."""
+    chunk 64 / overlap 2 / batch 16, DEVNOTES round 3).
+
+    Failure-mode limits (all disable with ``None``):
+
+    - ``max_audio_seconds``: reject a single request longer than this at
+      submit time (:class:`RequestTooLarge`).
+    - ``max_queue_utts``: reject new requests once this many are already
+      queued (:class:`ServiceOverloaded`) — sheds load instead of building an
+      unbounded backlog behind a saturated chip.
+    - ``max_queue_seconds``: a request that waits longer than this in the
+      queue is failed with :class:`ServiceOverloaded` when the dispatcher
+      reaches it — the client has usually given up by then, and enhancing for
+      a dead socket wastes chip time.
+    - ``flight_timeout_s``: if a flight's device execution exceeds this, its
+      clients are failed with :class:`FlightTimeout`. The device program
+      itself cannot be cancelled — the dispatcher unblocks the CLIENTS, then
+      still waits for the program to finish before dispatching the next
+      flight (JAX dispatch stays single-threaded); the queue-age limit
+      protects requests queued behind the stall.
+    """
 
     chunk_frames: int = 64
     overlap_frames: int = 2
@@ -51,15 +82,20 @@ class ServiceConfig:
     max_flight_utts: int = 16
     max_wait_ms: float = 25.0
     seed: int = 0
+    max_audio_seconds: Optional[float] = 600.0
+    max_queue_utts: Optional[int] = 256
+    max_queue_seconds: Optional[float] = 30.0
+    flight_timeout_s: Optional[float] = None
 
 
 class _Request:
-    __slots__ = ("y", "est_snr", "future")
+    __slots__ = ("y", "est_snr", "future", "t_submit")
 
     def __init__(self, y: np.ndarray, est_snr: Optional[float]):
         self.y = y
         self.est_snr = est_snr
         self.future: Future = Future()
+        self.t_submit = time.monotonic()
 
 
 _CLOSE = object()
@@ -83,6 +119,7 @@ class EnhanceService:
         self._base_key = jax.random.PRNGKey(self.cfg.seed)
         self._flight_idx = 0
         self._closed = False
+        self._dead = False
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0,
@@ -90,6 +127,9 @@ class EnhanceService:
             "audio_seconds": 0.0,
             "wall_seconds": 0.0,
             "errors": 0,
+            "rejected": 0,
+            "expired": 0,
+            "flight_timeouts": 0,
         }
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
@@ -101,11 +141,31 @@ class EnhanceService:
         SNR for the ``*_snr`` branches (else the service estimates it)."""
         if self._closed:
             raise RuntimeError("service is closed")
+        if self._dead:
+            raise RuntimeError("service dispatcher died; service is unusable")
         y = np.asarray(y_wav, dtype=np.float32).reshape(-1)
         if y.size == 0:
             raise ValueError("empty waveform")
+        max_s = self.cfg.max_audio_seconds
+        if max_s is not None and y.size > max_s * 16000:
+            with self._lock:
+                self._stats["rejected"] += 1
+            raise RequestTooLarge(
+                f"request audio {y.size / 16000:.1f}s exceeds "
+                f"max_audio_seconds={max_s:g}")
+        cap = self.cfg.max_queue_utts
+        if cap is not None and self._q.qsize() >= cap:
+            with self._lock:
+                self._stats["rejected"] += 1
+            raise ServiceOverloaded(
+                f"queue full ({cap} utterances waiting); retry later")
         req = _Request(y, est_snr)
         self._q.put(req)
+        if self._dead and not req.future.done():
+            # the dispatcher died while we were enqueueing and its final
+            # drain may have already run — fail rather than hang the client
+            req.future.set_exception(
+                RuntimeError("service dispatcher died; service is unusable"))
         return req.future
 
     def enhance(self, y_wav: np.ndarray, est_snr: Optional[float] = None,
@@ -138,15 +198,35 @@ class EnhanceService:
         self.close()
 
     # -------------------------------------------------------------- dispatcher
+    def _expire_if_stale(self, req) -> bool:
+        """Fail a request that outwaited max_queue_seconds in the queue;
+        returns True if it was expired."""
+        lim = self.cfg.max_queue_seconds
+        if lim is None or (time.monotonic() - req.t_submit) <= lim:
+            return False
+        with self._lock:
+            self._stats["expired"] += 1
+        if not req.future.done():
+            req.future.set_exception(ServiceOverloaded(
+                f"request waited > max_queue_seconds={lim:g}s in queue; "
+                "service overloaded"))
+        return True
+
     def _collect_flight(self):
-        """Block for the first request, then linger up to max_wait_ms for
-        more, capped at max_flight_utts. Returns (requests, saw_close)."""
-        try:
-            first = self._q.get(timeout=0.25)
-        except queue.Empty:
-            return [], False
-        if first is _CLOSE:
-            return [], True
+        """Block for the first (still-live) request, then linger up to
+        max_wait_ms for more, capped at max_flight_utts. Requests that aged
+        past max_queue_seconds are failed and skipped. Returns
+        (requests, saw_close)."""
+        first = None
+        while first is None:
+            try:
+                item = self._q.get(timeout=0.25)
+            except queue.Empty:
+                return [], False
+            if item is _CLOSE:
+                return [], True
+            if not self._expire_if_stale(item):
+                first = item
         flight = [first]
         deadline = time.monotonic() + self.cfg.max_wait_ms / 1000.0
         while len(flight) < self.cfg.max_flight_utts:
@@ -159,10 +239,48 @@ class EnhanceService:
                 break
             if item is _CLOSE:
                 return flight, True
-            flight.append(item)
+            if not self._expire_if_stale(item):
+                flight.append(item)
         return flight, False
 
     def _run_flight(self, flight) -> None:
+        """Execute one flight, honoring flight_timeout_s: on timeout the
+        flight's clients are failed immediately, then the dispatcher still
+        waits for the device program to finish (single-threaded JAX dispatch)
+        before the next flight."""
+        timeout = self.cfg.flight_timeout_s
+        if timeout is None:
+            self._execute_flight(flight)
+            return
+        worker = threading.Thread(
+            target=self._execute_flight_guarded, args=(flight,), daemon=True)
+        worker.start()
+        worker.join(timeout)
+        if worker.is_alive():
+            with self._lock:
+                self._stats["flight_timeouts"] += 1
+            err = FlightTimeout(
+                f"flight of {len(flight)} utterances exceeded "
+                f"flight_timeout_s={timeout:g}s")
+            for r in flight:
+                if not r.future.done():
+                    r.future.set_exception(err)
+            worker.join()  # wait out the stuck program before the next flight
+
+    def _execute_flight_guarded(self, flight) -> None:
+        """_execute_flight with the same never-wedge-clients guarantee as the
+        dispatcher's own try/except (needed when running on a worker thread,
+        whose exceptions would otherwise vanish)."""
+        try:
+            self._execute_flight(flight)
+        except Exception as e:
+            with self._lock:
+                self._stats["errors"] += 1
+            for r in flight:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _execute_flight(self, flight) -> None:
         import jax.numpy as jnp
 
         from ..evaluation.streaming import enhance_streamed_packed
@@ -186,7 +304,8 @@ class EnhanceService:
         )
         wall = time.monotonic() - t0
         for r, out in zip(flight, outs):
-            r.future.set_result(np.asarray(out, dtype=np.float32))
+            if not r.future.done():  # may have been failed by a flight timeout
+                r.future.set_result(np.asarray(out, dtype=np.float32))
         with self._lock:
             self._stats["requests"] += len(flight)
             self._stats["flights"] += 1
@@ -195,6 +314,26 @@ class EnhanceService:
             self._stats["wall_seconds"] += wall
 
     def _run(self) -> None:
+        try:
+            self._run_loop()
+        finally:
+            if not self._closed:
+                # The dispatcher died (a bug escaped the per-flight guard, or
+                # a BaseException like MemoryError). A wedged client is the
+                # worst outcome: mark the service dead — submit() rejects
+                # from now on — and fail everything still queued.
+                self._dead = True
+                err = RuntimeError(
+                    "service dispatcher died; service is unusable")
+                while True:
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is not _CLOSE and not item.future.done():
+                        item.future.set_exception(err)
+
+    def _run_loop(self) -> None:
         while True:
             flight, saw_close = self._collect_flight()
             if flight:

@@ -200,3 +200,203 @@ def test_service_concurrency_stress(rng):
         assert 1 <= stats["flights"] <= 12
     finally:
         svc.close()
+
+
+# ---------------------------------------------------------------- failure modes
+
+
+def _blocked_service(model, variables, release, started, **cfg_kwargs):
+    """Service whose first flight blocks on `release` (fault injection: a
+    saturated/stuck chip), signalling `started` when the flight begins."""
+    svc = EnhanceService(model, variables, config=ServiceConfig(
+        batch_size=8, max_flight_utts=1, max_wait_ms=5.0, **cfg_kwargs))
+    real_execute = svc._execute_flight
+
+    def slow_execute(flight):
+        started.set()
+        release.wait(timeout=60)
+        real_execute(flight)
+
+    svc._execute_flight = slow_execute
+    return svc
+
+
+def test_submit_rejects_oversized_request(rng):
+    """A request longer than max_audio_seconds fails fast at submit with
+    RequestTooLarge (not after queueing behind the chip)."""
+    from diffse_tpu.serving import RequestTooLarge
+
+    model, variables = _model()
+    svc = EnhanceService(model, variables, config=ServiceConfig(
+        max_audio_seconds=0.5))
+    try:
+        with pytest.raises(RequestTooLarge):
+            svc.submit(rng.standard_normal(16000).astype(np.float32))
+        assert svc.stats()["rejected"] == 1
+        # an in-limit request still serves
+        out = svc.enhance(
+            rng.standard_normal(4000).astype(np.float32) * 0.1, timeout=300)
+        assert out.shape == (4000,)
+    finally:
+        svc.close()
+
+
+def test_queue_depth_limit_sheds_load(rng):
+    """With the dispatcher stuck on a flight, the queue cap rejects new
+    submits with ServiceOverloaded instead of growing an unbounded backlog."""
+    from diffse_tpu.serving import ServiceOverloaded
+
+    model, variables = _model()
+    release, started = threading.Event(), threading.Event()
+    svc = _blocked_service(model, variables, release, started,
+                           max_queue_utts=2)
+    try:
+        w = rng.standard_normal(3000).astype(np.float32) * 0.1
+        f0 = svc.submit(w)            # consumed into the (stuck) flight
+        assert started.wait(timeout=30)
+        f1, f2 = svc.submit(w), svc.submit(w)   # fill the queue to the cap
+        with pytest.raises(ServiceOverloaded):
+            svc.submit(w)
+        assert svc.stats()["rejected"] == 1
+        release.set()                 # unstick: everything queued completes
+        for f in (f0, f1, f2):
+            assert f.result(timeout=300).shape == (3000,)
+    finally:
+        release.set()
+        svc.close()
+
+
+def test_queue_time_limit_fails_stale_requests(rng):
+    """A request that outwaits max_queue_seconds behind a stuck flight is
+    failed with ServiceOverloaded when the dispatcher reaches it — fresh
+    requests behind it still serve."""
+    import time as _time
+
+    from diffse_tpu.serving import ServiceOverloaded
+
+    model, variables = _model()
+    release, started = threading.Event(), threading.Event()
+    svc = _blocked_service(model, variables, release, started,
+                           max_queue_seconds=0.2)
+    try:
+        w = rng.standard_normal(3000).astype(np.float32) * 0.1
+        f0 = svc.submit(w)            # consumed into the (stuck) flight
+        assert started.wait(timeout=30)
+        stale = svc.submit(w)         # queued; will age past 0.2 s
+        _time.sleep(0.4)
+        release.set()
+        assert f0.result(timeout=300).shape == (3000,)
+        with pytest.raises(ServiceOverloaded):
+            stale.result(timeout=300)
+        assert svc.stats()["expired"] == 1
+        # the service is healthy afterwards
+        assert svc.enhance(w, timeout=300).shape == (3000,)
+    finally:
+        release.set()
+        svc.close()
+
+
+def test_dispatcher_death_fails_queued_futures(rng):
+    """If the dispatcher thread dies (a bug escaping the per-flight guard),
+    queued clients get the error instead of hanging forever, and subsequent
+    submits are rejected."""
+    model, variables = _model()
+    release, started = threading.Event(), threading.Event()
+    svc = _blocked_service(model, variables, release, started)
+    try:
+        w = rng.standard_normal(3000).astype(np.float32) * 0.1
+        f0 = svc.submit(w)
+        assert started.wait(timeout=30)
+        queued = svc.submit(w)        # waiting behind the stuck flight
+
+        def bomb():
+            raise AssertionError("injected dispatcher bug")
+
+        svc._collect_flight = bomb    # next loop iteration kills the thread
+        release.set()
+        assert f0.result(timeout=300).shape == (3000,)  # in-flight completes
+        with pytest.raises(RuntimeError, match="dispatcher died"):
+            queued.result(timeout=60)
+        svc._dispatcher.join(timeout=60)
+        with pytest.raises(RuntimeError, match="dispatcher died"):
+            svc.submit(w)
+    finally:
+        release.set()
+
+
+def test_flight_timeout_unblocks_clients(rng):
+    """A flight exceeding flight_timeout_s fails its clients with
+    FlightTimeout; the service serves the next flight normally after the
+    stuck program finishes."""
+    from diffse_tpu.serving import FlightTimeout
+
+    model, variables = _model()
+    svc = EnhanceService(model, variables, config=ServiceConfig(
+        batch_size=8, max_flight_utts=1, max_wait_ms=5.0,
+        flight_timeout_s=0.15))
+    real_execute = svc._execute_flight
+    calls = []
+
+    def sometimes_slow(flight):
+        calls.append(None)
+        if len(calls) == 1:
+            threading.Event().wait(0.6)   # one stuck flight
+        real_execute(flight)
+
+    svc._execute_flight = sometimes_slow
+    try:
+        w = rng.standard_normal(3000).astype(np.float32) * 0.1
+        with pytest.raises(FlightTimeout):
+            svc.enhance(w, timeout=300)
+        assert svc.stats()["flight_timeouts"] == 1
+        # recovered: the next flight serves (generous deadline — the tight
+        # one above is only for the injected stall, not real compute)
+        svc.cfg.flight_timeout_s = 300.0
+        assert svc.enhance(w, timeout=300).shape == (3000,)
+    finally:
+        svc.close()
+
+
+def test_http_request_limits(rng):
+    """HTTP front end: body-size cap and service-level RequestTooLarge both
+    surface as 413; Content-Length is required."""
+    from diffse_tpu.data.wavio import wav_bytes
+    from diffse_tpu.serving.http import make_server, serve_forever_in_thread
+
+    model, variables = _model()
+    svc = EnhanceService(model, variables, config=ServiceConfig(
+        batch_size=8, max_flight_utts=4, max_wait_ms=10.0,
+        max_audio_seconds=0.5))
+    server = make_server(svc, port=0, max_body_bytes=200_000)
+    thread = serve_forever_in_thread(server)
+    host, port = server.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        # service-level audio-length limit -> 413
+        body = wav_bytes(rng.standard_normal(16000).astype(np.float32) * 0.1,
+                         16000, subtype="float32")
+        req = urllib.request.Request(base + "/enhance", data=body,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 413
+
+        # HTTP-level body cap -> 413 without reading the body
+        big = wav_bytes(rng.standard_normal(80000).astype(np.float32) * 0.1,
+                        16000, subtype="float32")
+        req = urllib.request.Request(base + "/enhance", data=big,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 413
+
+        # in-limit request still round-trips
+        ok = wav_bytes(rng.standard_normal(4000).astype(np.float32) * 0.1,
+                       16000, subtype="float32")
+        req = urllib.request.Request(base + "/enhance", data=ok, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        svc.close()

@@ -1,13 +1,26 @@
-"""Tests for diffse_tpu.parallel.mesh: initialize_distributed failure policy.
+"""Tests for diffse_tpu.parallel.mesh: initialize_distributed failure policy
+plus a REAL (unmocked) 2-process ``jax.distributed`` coordination run.
 
-A configured-but-broken coordinator must raise (not silently degrade to
-single-process); the no-coordinator case must degrade gracefully.
+The failure-policy tests mock ``jax.distributed.initialize`` (a configured-
+but-broken coordinator must raise, the no-coordinator case must degrade
+gracefully); the multi-process test below executes the genuine article:
+two subprocesses, a localhost coordination service, one global 4-device CPU
+mesh, gloo gradient all-reduce — the functional twin of the reference's
+multi-process DDP (sgmse-bbed/train.py:108).
 """
+
+import json
+import os
+import socket
+import subprocess
+import sys
 
 import jax
 import pytest
 
 from diffse_tpu.parallel import mesh as mesh_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 class _Boom(RuntimeError):
@@ -50,3 +63,64 @@ def test_already_initialized_is_noop(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", _raise)
     # Must not raise even with a coordinator configured.
     mesh_mod.initialize_distributed(coordinator_address="10.0.0.1:1234")
+
+
+# ---------------------------------------------------- real multi-process run
+
+
+@pytest.mark.slow
+def test_two_process_distributed_step_matches_single_process(tmp_path):
+    """Spawn two REAL processes that jax.distributed.initialize against a
+    localhost coordinator (2 virtual CPU devices each -> one global 4-device
+    mesh), take one data-parallel train step, and assert the loss/params
+    equal the single-process value — the gradient all-reduce actually
+    crosses a process boundary (gloo), nothing is mocked."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    worker = os.path.join(REPO, "tools", "distributed_worker.py")
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"p{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-u", worker,
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(pid),
+             "--out", str(out), "--init_timeout", "600"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    results = [json.loads(out.read_text()) for out in outs]
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["num_devices"] == 4
+    # both processes observed the identical replicated result
+    assert results[0]["loss"] == results[1]["loss"]
+    assert results[0]["param_sum"] == results[1]["param_sum"]
+
+    # single-process reference with the identical deterministic inputs
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import distributed_worker as dw
+    finally:
+        sys.path.pop(0)
+    from diffse_tpu.train import make_train_step
+
+    model, opt, state = dw.build_model()
+    batch = dw.build_batch()
+    step = make_train_step(model, opt, donate=False)
+    _, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert results[0]["loss"] == pytest.approx(
+        float(metrics["train_loss"]), rel=1e-5)

@@ -256,7 +256,8 @@ def ref_env():
 
 
 def _build_pair(ref_env, model_type, snr_conditioned, fixed_snr=1.0,
-                sigma_max=1.0, seed=0, sde="bbed", sde_kwargs=None):
+                sigma_max=1.0, seed=0, sde="bbed", sde_kwargs=None,
+                loss_type="mse"):
     """Our ScoreModel (random flax init) + the reference ScoreModel loaded
     with the CONVERTED identical weights.
 
@@ -272,7 +273,7 @@ def _build_pair(ref_env, model_type, snr_conditioned, fixed_snr=1.0,
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde=sde, model_type=model_type,
         snr_conditioned=snr_conditioned, fixed_snr=fixed_snr,
-        sigma_max=sigma_max, t_eps=3e-2,
+        sigma_max=sigma_max, t_eps=3e-2, loss_type=loss_type,
     )
     ours = ScoreModel(
         cfg, backbone_kwargs=ARCH, sde_kwargs=dict(sde_kwargs, N=30),
@@ -291,7 +292,7 @@ def _build_pair(ref_env, model_type, snr_conditioned, fixed_snr=1.0,
     ref = ref_env.ScoreModel(
         backbone="ncsnpp", sde=sde, model_type=model_type,
         snr_conditioned=snr_conditioned, fixed_snr=fixed_snr,
-        data_module_cls=ref_env.SpecsDataModule,
+        loss_type=loss_type, data_module_cls=ref_env.SpecsDataModule,
         base_dir="", batch_size=1, num_workers=0, gpus=0,
         **ref_kwargs, **ARCH,
     )
@@ -589,3 +590,79 @@ def test_sebridge_v2_enhance_waveform_parity(ref_env, monkeypatch):
     assert our_wav.shape == ref_wav.shape == (T_ORIG,)
     err = _rel_err(ref_wav, our_wav)
     assert err < 1e-4, f"waveform relative deviation {err:.2e}"
+
+
+# ------------------------------------------------ training-loss branch parity
+
+# Every (snr_conditioned x model_type) dispatch of the reference's training
+# _step (sgmse/model.py:159-394) plus the sqrt_mse loss variants — the last
+# pipeline stage that previously had only white-box (formula) verification.
+LOSS_BRANCHES = [
+    ("false", "bbed", "mse"),          # DSM vs BBED.marginal_prob, model.py:171-190
+    ("false", "bbed", "sqrt_mse"),     # sqrt-compressed posterior-mean loss, model.py:182-188
+    ("false", "sebridge", "mse"),      # sqrt(t(1-t)) bridge consistency, model.py:192-221
+    ("false", "sebridge", "sqrt_mse"),
+    ("false", "sebridge_v2", "mse"),   # linear bridge + t*z, mu conditioning, model.py:223-255
+    ("fixed", "sebridge_v2", "mse"),   # |X-Y|-max rescale to fixed_snr, model.py:257-291
+    ("fixed", "sebridge_v3", "mse"),   # nonlinear bridge, y0*fixed_snr, model.py:293-326
+    ("true", "sebridge_v2", "mse"),    # model.py:329-359
+    ("true", "sebridge_v3", "mse"),    # SNR-aligned nonlinear bridge (Eq. 6), model.py:361-390
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("snr_conditioned,model_type,loss_type", LOSS_BRANCHES)
+def test_training_loss_branch_parity(ref_env, monkeypatch, snr_conditioned,
+                                     model_type, loss_type):
+    """Executed-reference parity for a training-loss branch: identical
+    weights (converter) + identical draws (torch.rand/randint/randn_like
+    monkeypatched to replay OUR kt/kz split schedule) => the reference's
+    _step and our loss_fn return the same loss value."""
+    fixed_snr = 0.17783 if snr_conditioned in ("fixed", "true") else 1.0
+    ours, variables, ref = _build_pair(
+        ref_env, model_type, snr_conditioned, fixed_snr=fixed_snr,
+        sigma_max=1.0, loss_type=loss_type,
+    )
+
+    b = 2
+    rng = np.random.default_rng(42)
+
+    def cspec(scale):
+        return (
+            (rng.standard_normal((b, 1, 256, 64)) +
+             1j * rng.standard_normal((b, 1, 256, 64))) * scale
+        ).astype(np.complex64)
+
+    x = cspec(0.1)
+    y = (x + cspec(0.05)).astype(np.complex64)
+
+    key = jax.random.PRNGKey(37)
+    our_loss, _ = ours.loss_fn(
+        variables, (jnp.asarray(x), jnp.asarray(y)), key, train=False
+    )
+    our_loss = float(our_loss)
+
+    # replay OUR draw schedule (score_model.py loss_fn: kt, kz = split(key);
+    # t/n from kt, z from kz) into the reference's torch RNG call sites
+    kt, kz = jax.random.split(key)
+    z = np.asarray(randn_like(kz, jnp.zeros((b, 1, 256, 64), jnp.complex64)))
+    if model_type == "bbed":
+        u = np.asarray(jax.random.uniform(kt, (b,))).astype(np.float32)
+        monkeypatch.setattr(
+            torch, "rand", lambda *a, **k: torch.from_numpy(u))
+    else:
+        n = np.asarray(jax.random.randint(kt, (b,), 1, 30)).astype(np.int64)
+        monkeypatch.setattr(
+            torch, "randint", lambda *a, **k: torch.from_numpy(n))
+    _inject_torch_noise(monkeypatch, [z])
+
+    with torch.no_grad():
+        ref_loss = float(
+            ref._step((torch.from_numpy(x), torch.from_numpy(y)), 0)
+        )
+
+    rel = abs(our_loss - ref_loss) / max(abs(ref_loss), 1e-12)
+    print(f"loss parity {snr_conditioned}/{model_type}/{loss_type}: "
+          f"ours={our_loss:.8g} ref={ref_loss:.8g} rel={rel:.2e}")
+    assert np.isfinite(our_loss) and np.isfinite(ref_loss)
+    assert rel < 1e-4, f"loss relative deviation {rel:.2e}"

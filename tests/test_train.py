@@ -516,3 +516,94 @@ def test_resume_continues_epoch_numbering(tmp_path):
     assert mgr.latest_step() == 3  # keys kept increasing across the resume
     restored = mgr.restore(jax.tree_util.tree_map(np.asarray, s2))
     assert int(restored.step) == 8  # latest checkpoint holds the NEW state
+
+
+@pytest.mark.slow
+def test_tensor_parallel_step_full_flagship_tree():
+    """Apply the TP sharding rules (parallel/model_sharding.py) to the FULL
+    ~65M production NCSN++ param tree on a dp4 x tp2 mesh and take one real
+    train step — the divisibility-guarded out-feature rules must hold for
+    every kernel shape in the real model, not just the toy tree the driver
+    dryrun uses (VERDICT r3: multi-chip validation ran at toy scale only)."""
+    from jax.sharding import PartitionSpec as P
+
+    from diffse_tpu.parallel import (
+        make_2d_mesh,
+        shard_batch,
+        shard_state,
+        state_shardings,
+    )
+
+    assert len(jax.devices()) == 8
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5, num_frames=64,
+    )
+    # production backbone: nf=128, ch_mult=(1,1,2,2,2,2,2) -> ~65M params
+    model = ScoreModel(
+        cfg, backbone_kwargs={},
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+    n_params = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(variables["params"])
+    )
+    assert n_params > 60e6  # really the flagship tree
+
+    opt = optax.adam(1e-4)
+    state = create_train_state(variables, opt)
+    mesh2 = make_2d_mesh(4, 2)
+    ssh = state_shardings(mesh2, state)
+
+    # the rules must actually grip the real tree: every 4-D conv kernel and
+    # 2-D dense kernel with even out-features shards on 'model'
+    def expected_spec(path, leaf):
+        from diffse_tpu.parallel.model_sharding import leaf_partition_spec
+
+        return leaf_partition_spec(path, leaf, 2)
+
+    specs = jax.tree_util.tree_map_with_path(
+        expected_spec, state.variables["params"]
+    )
+    sharded = [
+        s for s in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda s: s != P(), specs,
+                                   is_leaf=lambda x: isinstance(x, P))
+        ) if s
+    ]
+    assert len(sharded) > 100, "TP rules sharded almost nothing at 65M"
+
+    step = make_train_step(model, opt, mesh=mesh2, donate=True,
+                           state_sharding=ssh)
+    state = shard_state(mesh2, state)
+
+    rng = np.random.default_rng(0)
+    b = 4
+    x = jnp.asarray(
+        (rng.standard_normal((b, 1, 256, 64))
+         + 1j * rng.standard_normal((b, 1, 256, 64))).astype(np.complex64)
+    ) * 0.1
+    y = x + 0.03 * jnp.asarray(
+        (rng.standard_normal((b, 1, 256, 64))
+         + 1j * rng.standard_normal((b, 1, 256, 64))).astype(np.complex64)
+    )
+    batch = shard_batch(mesh2, (x, y))
+
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["train_loss"])
+    assert np.isfinite(loss)
+    assert int(new_state.step) == 1
+    # sharded params really live distributed: a sharded kernel's per-device
+    # shard is half its global out-features
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        new_state.variables["params"]
+    )
+    checked = 0
+    for path, leaf in flat:
+        spec = expected_spec(path, leaf)
+        if spec == P(None, None, None, "model"):
+            shard_shape = leaf.addressable_shards[0].data.shape
+            assert shard_shape[-1] * 2 == leaf.shape[-1], (path, shard_shape)
+            checked += 1
+    assert checked > 50

@@ -463,12 +463,18 @@ class ResnetBlockBigGANpp(nn.Module):
     # Use the fused Pallas GroupNorm+SiLU kernel for the two norm+act pairs
     # (only valid when `act` is SiLU/swish; param tree is unchanged).
     pallas_gn_silu: bool = False
+    # Enable the fused Pallas chain only when the block's input feature map
+    # has at most this many spatial positions (0 = never). Targets the deep
+    # U-Net levels (4x1 / 8x2 at T=64) where XLA's conv-emitter schedule is
+    # weakest and custom-call relayout copies are cheapest; independent of
+    # `pallas_gn_silu` (which enables it everywhere).
+    pallas_max_hw: int = 0
     # Lower stride-1 3x3 convs to a single im2col matmul when the spatial
     # map has at most this many positions (0 = never; see MatmulConv).
     matmul_conv_max_hw: int = 0
 
-    def _gn_act(self, h, channels, name):
-        if self.pallas_gn_silu:
+    def _gn_act(self, h, channels, name, pallas_on=False):
+        if pallas_on:
             out = FusedGroupNormSiLU(channels, name=name)(h)
             return out if self.dtype is None else out.astype(self.dtype)
         return self.act(group_norm(channels, name=name, dtype=self.dtype)(
@@ -479,13 +485,17 @@ class ResnetBlockBigGANpp(nn.Module):
                  x2=None):
         in_ch = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         out_ch = self.out_ch if self.out_ch else in_ch
+        pallas_on = self.pallas_gn_silu or (
+            self.pallas_max_hw > 0
+            and x.shape[1] * x.shape[2] <= self.pallas_max_hw
+        )
         num_groups0 = min(in_ch // 4, 32)
         cg0 = in_ch // num_groups0
         split_ok = (
             x2 is not None
             and not self.up
             and not self.down
-            and not self.pallas_gn_silu
+            and not pallas_on
             and in_ch % num_groups0 == 0
         )
         if x2 is not None and not split_ok:
@@ -511,7 +521,7 @@ class ResnetBlockBigGANpp(nn.Module):
         # and when dropout is inactive; the op itself falls back to the
         # equivalent jnp chain for shapes outside the kernel's tiling rules.
         fused_ok = (
-            self.pallas_gn_silu
+            pallas_on
             and not self.up
             and not self.down
             and (self.dropout == 0.0 or not train)
@@ -555,7 +565,7 @@ class ResnetBlockBigGANpp(nn.Module):
             )
             return out if self.dtype is not None else out.astype(jnp.float32)
 
-        h = self._gn_act(x, in_ch, "GroupNorm_0")
+        h = self._gn_act(x, in_ch, "GroupNorm_0", pallas_on)
 
         if self.up:
             if self.fir:
@@ -582,7 +592,7 @@ class ResnetBlockBigGANpp(nn.Module):
             h += nn.Dense(out_ch, kernel_init=default_init(),
                           bias_init=nn.initializers.zeros, dtype=self.dtype,
                           name="Dense_1")(self.act(semb))[:, None, None, :]
-        h = self._gn_act(h, out_ch, "GroupNorm_1")
+        h = self._gn_act(h, out_ch, "GroupNorm_1", pallas_on)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1",
                     dtype=self.dtype,

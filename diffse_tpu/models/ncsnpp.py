@@ -97,6 +97,13 @@ class NCSNppBase(nn.Module):
     # the conv emitter's tiling. 0 = always use lax.conv. Param tree is
     # unchanged either way.
     matmul_conv_max_hw: int = 0
+    # Run the fused Pallas GroupNorm+SiLU+conv3x3 resblock chain ONLY at
+    # levels whose feature map has at most this many spatial positions
+    # (0 = off). Unlike `use_pallas_groupnorm` (all levels — measured slower
+    # than XLA on the full model), this targets just the deep levels
+    # (4x1 / 8x2 at T=64) where the conv emitter's schedule is weakest and
+    # custom-call relayout copies are cheapest. Param tree unchanged.
+    pallas_max_hw: int = 0
     # jax.checkpoint (nn.remat) every residual block: the backward pass
     # recomputes block activations instead of storing them, cutting training
     # activation HBM from O(depth) feature maps to O(1) per level at ~1/3
@@ -131,6 +138,8 @@ class NCSNppBase(nn.Module):
                 dtype=self._compute_dtype,
                 pallas_gn_silu=(self.use_pallas_groupnorm
                                 and self.nonlinearity == "swish"),
+                pallas_max_hw=(self.pallas_max_hw
+                               if self.nonlinearity == "swish" else 0),
                 matmul_conv_max_hw=self.matmul_conv_max_hw,
                 name=name,
             )
@@ -400,6 +409,10 @@ def _add_size_args(parser):
                         choices=("float32", "bf16"))
     parser.add_argument("--pallas_groupnorm", dest="use_pallas_groupnorm",
                         action="store_true", default=False)
+    parser.add_argument("--pallas_max_hw", type=int, default=0,
+                        help="fused Pallas resblock chain at levels with "
+                             "<= this many spatial positions (16 = two "
+                             "deepest at T=64; 0 = off)")
     parser.add_argument("--fuse_pyramid", dest="fuse_pyramid",
                         action="store_true", default=False)
     parser.add_argument("--remat", dest="remat", action="store_true",

@@ -347,11 +347,115 @@ def _gn_silu_conv3x3_reference(x, gn_scale, gn_bias, w, bias_total, skip,
     return out.astype(x.dtype)
 
 
+def _gn_silu_conv3x3_small_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref,
+                                  o_ref, *, bsz, h, wdt, cin, cout,
+                                  compute_dtype, with_skip, skip_coef,
+                                  skip_ref=None):
+    """Whole-tensor fused chain for TINY spatial maps (deep U-Net levels,
+    e.g. 4x1 / 8x2 at T=64 where the row-tiled kernel's ``W % 8 == 0,
+    H >= 8`` constraints cannot hold). Everything lives in VMEM as one
+    flattened ``[B*H*W, C]`` block; the 3x3 SAME conv is at most 9 MXU
+    matmuls over rolled+masked views of the activated rows — taps that are
+    everywhere-invalid for the given (H, W) (e.g. the 6 off-column taps at
+    W=1) are pruned at trace time. The per-row GroupNorm affine (a, b) and
+    the conv/conditioning bias come in pre-expanded to rows."""
+    hw = h * wdt
+    rows = bsz * hw
+
+    v = x_ref[:].astype(jnp.float32) * a_ref[:] + b_ref[:]
+    act = v * jax.nn.sigmoid(v)
+    if compute_dtype is not None:
+        act = act.astype(compute_dtype)
+
+    # Row r = b*H*W + hh*W + ww. Destination validity of tap (dy, dx) only
+    # depends on (hh, ww); a row whose source crosses an image edge is
+    # masked, which also kills every would-be cross-batch leak of the flat
+    # roll (those sources always have hh+dy outside [0, H)).
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    hh = (r_iota % hw) // wdt
+    ww = r_iota % wdt
+
+    acc = jnp.zeros((rows, cout), jnp.float32)
+    for dy in (-1, 0, 1):
+        if h + min(dy, 0) <= 0 or dy >= h:  # no valid destination rows
+            continue
+        for dx in (-1, 0, 1):
+            if wdt + min(dx, 0) <= 0 or dx >= wdt:
+                continue
+            shift = dy * wdt + dx
+            # pltpu.roll requires a non-negative shift; (-s) mod rows is the
+            # same circular move (wrapped rows are masked out below anyway)
+            src = act if shift == 0 else pltpu.roll(act, (-shift) % rows, axis=0)
+            valid = (
+                (hh + dy >= 0) & (hh + dy < h) & (ww + dx >= 0) & (ww + dx < wdt)
+            )
+            tap = jnp.where(valid, src, jnp.zeros_like(src))
+            acc = acc + jnp.dot(
+                tap, w_ref[(dy + 1) * 3 + (dx + 1)],
+                preferred_element_type=jnp.float32,
+            )
+
+    out = acc + bias_ref[:].astype(jnp.float32)
+    if with_skip:
+        out = (skip_ref[:].astype(jnp.float32) + out) * skip_coef
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _gn_silu_conv3x3_small_impl(x, gn_scale, gn_bias, w, bias_total, skip,
+                                skip_coef, num_groups, eps, compute_dtype,
+                                interpret):
+    bsz, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    hw = h * wdt
+    a, b = _gn_stats_ab(x, gn_scale, gn_bias, num_groups, eps)
+    # expand per-batch vectors to flat rows: [B, C] -> [B*H*W, C]
+    a_rows = jnp.repeat(a, hw, axis=0)
+    b_rows = jnp.repeat(b, hw, axis=0)
+    bias_rows = jnp.repeat(bias_total.astype(jnp.float32), hw, axis=0)
+    x_rows = x.reshape(bsz * hw, cin)
+    w9 = w.reshape(9, cin, cout)
+    if compute_dtype is not None:
+        w9 = w9.astype(compute_dtype)
+
+    kernel = functools.partial(
+        _gn_silu_conv3x3_small_kernel, bsz=bsz, h=h, wdt=wdt, cin=cin,
+        cout=cout, compute_dtype=compute_dtype, with_skip=skip is not None,
+        skip_coef=skip_coef,
+    )
+    args = [x_rows, a_rows, b_rows, w9, bias_rows]
+    if skip is not None:
+        args.append(skip.reshape(bsz * hw, cout))
+
+        def body(x_ref, a_ref, b_ref, w_ref, bias_ref, skip_ref, o_ref):
+            kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref,
+                   skip_ref=skip_ref)
+    else:
+        body = kernel
+
+    out = pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((bsz * hw, cout), x.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(bsz, h, wdt, cout)
+
+
+def _small_map_ok(h, wdt, cin, num_groups):
+    """Shapes served by the whole-tensor small-map kernel: tiny spatial maps
+    with a lane-aligned channel dim (the deep U-Net levels)."""
+    return h * wdt <= 256 and cin % 128 == 0 and cin % num_groups == 0
+
+
 def _gn_silu_conv3x3_pallas_impl(x, gn_scale, gn_bias, w, bias_total, skip,
                                  skip_coef, num_groups, eps, compute_dtype,
                                  interpret):
     bsz, h, wdt, cin = x.shape
     cout = w.shape[-1]
+    if not (wdt % 8 == 0 and h >= 8):
+        return _gn_silu_conv3x3_small_impl(
+            x, gn_scale, gn_bias, w, bias_total, skip, skip_coef, num_groups,
+            eps, compute_dtype, interpret,
+        )
     a, b = _gn_stats_ab(x, gn_scale, gn_bias, num_groups, eps)
     # [B, C] vectors go in as [B, 1, C] so their (second-minor, minor) block
     # dims (1, C) equal the array dims (a Mosaic block-shape requirement).
@@ -480,11 +584,14 @@ def groupnorm_silu_conv3x3_pallas(
         compute_dtype: dtype for the conv matmuls (bf16 for the half trunk);
             statistics/normalization always run in f32.
 
-    Falls back to the equivalent jnp chain when the shape doesn't meet the
-    kernel's tiling constraints (input lane dim multiple of 128, W multiple
-    of 8; the OUTPUT channel count is unconstrained — its block always
-    covers the full dim, so e.g. the 4-channel output pyramid conv is fine)
-    or when Mosaic is unavailable. On non-TPU backends the jnp reference
+    Two kernel regimes: the row-tiled halo kernel for full-size maps
+    (W multiple of 8, H >= 8) and a whole-tensor VMEM-resident kernel for
+    tiny maps (H*W <= 256 — the deep U-Net levels, e.g. 4x1 / 8x2 at T=64,
+    where the conv emitter's tiling is weakest). Falls back to the
+    equivalent jnp chain when the shape meets neither regime's constraints
+    (input lane dim multiple of 128; the OUTPUT channel count is
+    unconstrained — its block always covers the full dim, so e.g. the
+    4-channel output pyramid conv is fine) or when Mosaic is unavailable. On non-TPU backends the jnp reference
     runs directly (interpret mode is for tests only — it is orders of
     magnitude slower at real shapes).
     """
@@ -499,9 +606,8 @@ def groupnorm_silu_conv3x3_pallas(
         interpret = False
     ok = (
         cin % 128 == 0
-        and wdt % 8 == 0
-        and h >= 8
         and cin % num_groups == 0
+        and ((wdt % 8 == 0 and h >= 8) or _small_map_ok(h, wdt, cin, num_groups))
     )
     if not ok:
         return _gn_silu_conv3x3_reference(

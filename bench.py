@@ -40,8 +40,8 @@ STAGES = [
     # once before degrading to the (much slower) f32 stage. Budget covers
     # two large compiles (primary program + the spec-streaming program) at
     # the observed 310-570 s each plus the occasional 2x-slow flake.
-    ("fused_b16_bf16", 2400),
-    ("fused_b16_bf16", 2400),
+    ("fused_b16_bf16", 3300),
+    ("fused_b16_bf16", 3300),
     ("fused_b16", 1100),
     ("fused_b4", 900),
     ("stepwise", 700),
@@ -401,6 +401,57 @@ def run_stage(stage: str):
         except Exception as e:  # secondary metric is best-effort
             print(f"[{stage}] 1-NFE measurement failed: {e}", file=sys.stderr,
                   flush=True)
+
+        # Secondary C: the certified NFE-reduction serving config — 2nd-order
+        # heun probability-flow predictor at N=15 (30 NFE vs the reference
+        # sampler's 60). Only promoted to the HEADLINE value when a
+        # measured quality certification exists (SAMPLER_QUALITY.json,
+        # written by tools/sampler_quality.py running both samplers on a
+        # TRAINED checkpoint): heun@N15 must match the reference config
+        # (reverse_diffusion+ald@N30, eval.py:126-132) within tolerance.
+        try:
+            cert = _load_heun_certification()
+            sde15 = sde.replace(N=15)
+
+            def enhance_heun(y_wav, key):
+                norm = jnp.max(jnp.abs(y_wav), axis=-1, keepdims=True)
+                y = y_wav / norm
+                Y = pad_spec(model._forward_transform(model._stft(y))[:, None])
+                sampler = get_pc_sampler(
+                    "heun", "none", sde=sde15, score_fn=score_fn, Y=Y,
+                    denoise=True, eps=cfg.t_eps, snr=0.5, corrector_steps=1,
+                )
+                sample, _ = sampler(key)
+                x_hat = model.to_audio(sample[:, 0])
+                return x_hat * norm
+
+            fnh = jax.jit(enhance_heun)
+            print(f"[{stage}] compiling heun N=15 program...", file=sys.stderr,
+                  flush=True)
+            t0 = time.time()
+            fnh(y_wav, jax.random.PRNGKey(90)).block_until_ready()
+            print(f"[{stage}] heun compile+first: {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            th = []
+            for i in range(REPEATS):
+                t0 = time.time()
+                fnh(y_wav, jax.random.PRNGKey(91 + i)).block_until_ready()
+                th.append(time.time() - t0)
+            wallh = min(th)
+            outs = [fnh(y_wav, jax.random.PRNGKey(100 + i)) for i in range(5)]
+            jax.block_until_ready(outs)
+            t0 = time.time()
+            outs = [fnh(y_wav, jax.random.PRNGKey(110 + i)) for i in range(30)]
+            jax.block_until_ready(outs)
+            wallh = min(wallh, (time.time() - t0) / 30)
+            audio_seconds = batch * audio_len / SR
+            extra["heun_n15_rtf_x"] = round(audio_seconds / wallh, 3)
+            extra["heun_n15_nfe"] = 30
+            if cert is not None:
+                extra["heun_quality_certification"] = cert
+        except Exception as e:
+            print(f"[{stage}] heun measurement failed: {e}", file=sys.stderr,
+                  flush=True)
     elif stage == "eager":
         # No jit anywhere: every op compiles individually (once, cached) —
         # robust against backends whose whole-program compiles stall. Python
@@ -479,9 +530,66 @@ def run_stage(stage: str):
     _emit(stage, batch, audio_len, wall, jax, extra)
 
 
+def _load_heun_certification():
+    """Measured quality certification for the heun@N15 serving config:
+    tools/sampler_quality.py --out_json writes per-config PESQ/SI-SDR/ESTOI
+    of a TRAINED checkpoint through both samplers; the config is certified
+    when heun@N15 (30 NFE) matches the reference eval config
+    (reverse_diffusion+ald@N30, 60 NFE — sgmse-bbed/eval.py:126-132) within
+    measurement tolerance. Returns a summary dict (with `certified` bool) or
+    None when no quality measurement exists — without it the heun number
+    stays a secondary, never the headline."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SAMPLER_QUALITY.json")
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+        ref, heun = rows["rd_ald_N30"], rows["heun_N15"]
+    except Exception:
+        return None
+    d_pesq = round(heun["pesq"] - ref["pesq"], 3)
+    d_si = round(heun["si_sdr"] - ref["si_sdr"], 2)
+    return {
+        "certified": bool(d_pesq >= -0.05 and d_si >= -0.5),
+        "d_pesq_vs_rd_ald_n30": d_pesq,
+        "d_si_sdr_vs_rd_ald_n30": d_si,
+        "heun_n15": heun,
+        "rd_ald_n30": ref,
+        "source": "SAMPLER_QUALITY.json (tools/sampler_quality.py)",
+    }
+
+
 def _emit(stage, batch, audio_len, wall, jax, extra):
     audio_seconds = batch * audio_len / SR
     rtf_x = audio_seconds / wall
+    cert = extra.get("heun_quality_certification")
+    if (
+        cert is not None
+        and cert.get("certified")
+        and extra.get("heun_n15_rtf_x", 0) > rtf_x
+    ):
+        # Quality-certified NFE reduction: serve with heun@N15 (30 NFE) at
+        # measured PESQ/SI-SDR parity with the reference sampler config.
+        # The like-for-like 60-NFE number stays in the record.
+        result = {
+            "metric": "rtf_x_realtime_bbed_enhance_certified",
+            "value": extra["heun_n15_rtf_x"],
+            "unit": "x_realtime",
+            "vs_baseline": round(extra["heun_n15_rtf_x"] / 10.0, 3),
+            "sampler": "heun_n15 (30 NFE, quality-certified)",
+            "rtf_x_realtime_bbed_n30": round(rtf_x, 3),
+            "utterances_per_sec_per_chip": round(
+                extra["heun_n15_rtf_x"] * SR / audio_len, 3),
+            "audio_seconds_per_run": round(audio_seconds, 3),
+            "batch": batch,
+            "num_frames": NUM_FRAMES,
+            "nfe": 30,
+            "stage": stage,
+            "device": str(jax.devices()[0]),
+            **{k: v for k, v in extra.items() if k != "heun_n15_rtf_x"},
+        }
+        print("RESULT " + json.dumps(result), flush=True)
+        return
     result = {
         "metric": "rtf_x_realtime_bbed_n30",
         "value": round(rtf_x, 3),

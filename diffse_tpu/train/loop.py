@@ -145,6 +145,7 @@ def train_score_model(
     tp_size: int = 1,
     eval_batch_size: int = 1,
     accum_steps: int = 1,
+    eval_every_n_epochs: int = 1,
 ):
     """Train a ScoreModel; returns the final TrainState.
 
@@ -156,6 +157,11 @@ def train_score_model(
     `accum_steps` > 1 accumulates gradients over that many consecutive
     loader batches before each optimizer step (effective batch
     `accum_steps * batch_size` in the HBM footprint of one batch).
+    `eval_every_n_epochs` runs validation/eval/checkpointing only every
+    k-th epoch (and always on the last) — the analog of the Lightning
+    trainer's `check_val_every_n_epoch` the reference drives its loop
+    with; epochs over small datasets are seconds of compute while each
+    checkpoint save is a full state fetch, so long runs set k > 1.
     """
     cfg = model.cfg
     logger = logger or MetricsLogger()
@@ -247,6 +253,9 @@ def train_score_model(
                            step=int(state.step))
         if guard.triggered:  # SIGTERM landed while fetching/stacking batches
             return _preempt_exit(epoch)
+
+        if (epoch + 1) % eval_every_n_epochs != 0 and epoch != max_epochs - 1:
+            continue  # off-cadence epoch: no validation, no save
 
         # ---- validation (EMA weights, model.py:120-134)
         ev = eval_variables(state)

@@ -518,6 +518,66 @@ def test_resume_continues_epoch_numbering(tmp_path):
     assert int(restored.step) == 8  # latest checkpoint holds the NEW state
 
 
+def test_eval_every_n_epochs_gates_validation_and_saves(tmp_path):
+    """eval_every_n_epochs=k (the Lightning check_val_every_n_epoch analog)
+    must skip validation/checkpointing on off-cadence epochs, always run
+    them on the final epoch, and keep every epoch's training steps."""
+    from diffse_tpu.train.loop import train_score_model
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", snr_conditioned="false",
+        model_type="sebridge_v2", sigma_max=1.0, num_eval_files=0,
+        n_fft=30, hop_length=8, num_frames=16,
+    )
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30))
+    wav_len = (cfg.num_frames - 1) * cfg.hop_length
+    rng = np.random.default_rng(0)
+
+    class _DM:
+        class cfg:
+            batch_size = 2
+
+        def setup(self, stage):
+            pass
+
+        def train_dataloader(self):
+            def gen():
+                for _ in range(2):
+                    x = rng.standard_normal((2, wav_len)).astype(np.float32)
+                    yield (x, (x + 0.3 * rng.standard_normal(
+                        (2, wav_len))).astype(np.float32))
+            return gen()
+
+        def val_dataloader(self):
+            x = rng.standard_normal((2, wav_len)).astype(np.float32)
+            return [(x, (x + 0.3 * rng.standard_normal(
+                (2, wav_len))).astype(np.float32))]
+
+    from diffse_tpu.train.logging import MetricsLogger
+
+    ckpt_dir = str(tmp_path / "cadence")
+    state = train_score_model(model, _DM(), max_epochs=5, ckpt_dir=ckpt_dir,
+                              use_mesh=False, seed=0, eval_every_n_epochs=2,
+                              logger=MetricsLogger(log_dir=str(tmp_path)))
+    assert int(state.step) == 10  # every epoch still trains
+
+    import json as _json
+
+    with open(tmp_path / "metrics.jsonl") as f:
+        rows = [_json.loads(l) for l in f]
+    validated = sorted({int(r["epoch"]) for r in rows if "valid_loss" in r})
+    # validation at epochs 1, 3 ((e+1) % 2 == 0) and always the final epoch
+    assert validated == [1, 3, 4]
+
+    from diffse_tpu.train import CheckpointManager
+
+    # the final checkpoint exists and restores the final state (earlier
+    # cadence saves may be pruned by top-k retention — that is unchanged)
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 4
+
+
 @pytest.mark.slow
 def test_tensor_parallel_step_full_flagship_tree():
     """Apply the TP sharding rules (parallel/model_sharding.py) to the FULL

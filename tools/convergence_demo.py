@@ -46,8 +46,25 @@ def main(argv=None):
                              "e.g. the real TPU; params still init on host)")
     parser.add_argument("--nf", type=int, default=16,
                         help="backbone width (16 = CPU toy; 64+ = TPU scale)")
+    parser.add_argument("--ch_mult", type=str, default="1,1,2",
+                        help="comma-separated channel multipliers")
+    parser.add_argument("--num_res_blocks", type=int, default=1)
+    parser.add_argument("--attn_resolutions", type=str, default="64",
+                        help="comma-separated attention resolutions "
+                             "(production NCSN++ uses 16)")
+    parser.add_argument("--num_eval_files", type=int, default=0,
+                        help=">0 logs per-epoch PESQ/SI-SDR/ESTOI through the "
+                             "sampler (the PESQ-vs-steps scaling curve)")
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--duration_s", type=float, default=1.2)
+    parser.add_argument("--eval_every", type=int, default=1,
+                        help="validate/checkpoint every k-th epoch (long "
+                             "runs over small datasets: epochs are seconds, "
+                             "saves are full state fetches)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint in "
+                             "<work_dir>/ckpts (long TPU runs surviving a "
+                             "bridge flake)")
     args = parser.parse_args(argv)
 
     import jax
@@ -81,10 +98,13 @@ def main(argv=None):
         backbone="ncsnpp", sde="bbed", model_type=args.model_type,
         snr_conditioned="false",
         sigma_max=0.5 if args.model_type == "bbed" else 1.0,
-        num_frames=64, num_eval_files=0,
+        num_frames=64, num_eval_files=args.num_eval_files,
     )
-    backbone = dict(nf=args.nf, ch_mult=(1, 1, 2), num_res_blocks=1,
-                    attn_resolutions=(64,), image_size=256)
+    ch_mult = tuple(int(c) for c in args.ch_mult.split(","))
+    attn_res = tuple(int(c) for c in args.attn_resolutions.split(","))
+    backbone = dict(nf=args.nf, ch_mult=ch_mult,
+                    num_res_blocks=args.num_res_blocks,
+                    attn_resolutions=attn_res, image_size=256)
     if args.platform != "cpu":
         backbone["dtype"] = "bf16"  # production TPU trunk dtype
     model = ScoreModel(
@@ -152,7 +172,8 @@ def main(argv=None):
         ckpt_dir=os.path.join(work, "ckpts"),
         logger=MetricsLogger(log_dir=work),
         use_mesh=False, max_steps_per_epoch=args.steps_per_epoch,
-        variables=variables0,
+        variables=variables0, resume=args.resume,
+        eval_every_n_epochs=args.eval_every,
     )
     ev = eval_variables(state)
     vl1 = valid_loss(ev)

@@ -35,14 +35,23 @@ def main(argv=None):
     parser.add_argument("--num_files", type=int, default=6)
     parser.add_argument("--eval_dir", type=str, default=None,
                         help="clean/noisy pair dir (default <work_dir>/data/valid)")
+    parser.add_argument("--platform", type=str, default="cpu",
+                        help="'cpu' (default) or 'ambient' (run the samplers "
+                             "on whatever JAX_PLATFORMS says — e.g. the real "
+                             "TPU; needed for production-nf checkpoints)")
+    parser.add_argument("--out_json", type=str, default=None,
+                        help="also write the RESULT row dict to this path "
+                             "(bench.py reads it to certify the heun NFE-"
+                             "reduction serving config)")
     args = parser.parse_args(argv)
 
     import jax
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    if args.platform == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     import jax.numpy as jnp
     import numpy as np
@@ -55,6 +64,11 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.work_dir, "ckpts")
     model, state = load_score_model(ckpt_dir)
     variables = eval_variables(state)
+    if args.platform != "cpu":
+        # one explicit host->device shipment; per-call implicit transfers of
+        # a production-size tree over the TPU bridge dominate otherwise
+        variables = jax.device_put(variables, jax.devices()[0])
+        jax.block_until_ready(variables)
     if model.cfg.model_type != "bbed":
         print(f"[sampq] checkpoint is model_type={model.cfg.model_type}; "
               "this sweep needs the PC-sampler (bbed) branch", file=sys.stderr)
@@ -128,6 +142,9 @@ def main(argv=None):
               f"{dp:>7.3f} {ds:>8.2f}")
 
     print("\nRESULT " + json.dumps(results))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(results, f, indent=1)
     return 0
 
 

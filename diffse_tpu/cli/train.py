@@ -108,6 +108,11 @@ def add_trainer_args(group):
                             "many consecutive loader batches per optimizer "
                             "step (effective batch = accum_steps*batch_size "
                             "in one batch's HBM footprint)")
+    group.add_argument("--eval_every_n_epochs", type=int, default=1,
+                       help="Validate/checkpoint every k-th epoch (always "
+                            "the last) — Lightning's check_val_every_n_epoch "
+                            "analog; epochs over small datasets are seconds "
+                            "of compute while each save fetches full state")
     return group
 
 
@@ -211,6 +216,7 @@ def main(argv=None):
         tp_size=args.tp_size,
         eval_batch_size=args.eval_batch_size,
         accum_steps=args.accum_steps,
+        eval_every_n_epochs=args.eval_every_n_epochs,
     )
 
 

@@ -57,6 +57,10 @@ def main(argv=None):
                              "sampler (the PESQ-vs-steps scaling curve)")
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--duration_s", type=float, default=1.2)
+    parser.add_argument("--lr", type=float, default=1e-4,
+                        help="Adam learning rate (drop for a fine-tune "
+                             "continuation with --resume: the restored Adam "
+                             "moments carry over, only the step size changes)")
     parser.add_argument("--eval_every", type=int, default=1,
                         help="validate/checkpoint every k-th epoch (long "
                              "runs over small datasets: epochs are seconds, "
@@ -98,7 +102,7 @@ def main(argv=None):
         backbone="ncsnpp", sde="bbed", model_type=args.model_type,
         snr_conditioned="false",
         sigma_max=0.5 if args.model_type == "bbed" else 1.0,
-        num_frames=64, num_eval_files=args.num_eval_files,
+        num_frames=64, num_eval_files=args.num_eval_files, lr=args.lr,
     )
     ch_mult = tuple(int(c) for c in args.ch_mult.split(","))
     attn_res = tuple(int(c) for c in args.attn_resolutions.split(","))

@@ -234,7 +234,7 @@ def run_stage(stage: str):
             # utterances in flight (host work is one zero-pad per utterance)
             _scache = _streaming._stream_cache(model)
             cache_key = ("spec", "bbed", n_chunks, NUM_FRAMES, OV_SPEC,
-                         cfg.fixed_snr)
+                         cfg.fixed_snr, ())
             sfn = _scache.get(cache_key) or next(iter(_scache.values()))
             pad_samples = (total_frames - 1) * cfg.hop_length
             yp = np.zeros(pad_samples, dtype=np.float32)

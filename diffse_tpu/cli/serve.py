@@ -41,6 +41,14 @@ def main(argv=None, block=True):
     parser.add_argument("--max_flight_utts", type=int, default=16)
     parser.add_argument("--max_wait_ms", type=float, default=25.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--predictor", type=str, default=None,
+                        help="bbed sampler predictor override (e.g. 'heun' "
+                             "with --corrector none --sampler_n 15 — the "
+                             "quality-certified NFE-reduction config, "
+                             "SAMPLER_QUALITY.json)")
+    parser.add_argument("--corrector", type=str, default=None)
+    parser.add_argument("--sampler_n", type=int, default=None,
+                        help="bbed reverse-step count override (default 30)")
     args = parser.parse_args(argv)
 
     from ..serving.http import make_server, serve_forever_in_thread
@@ -90,10 +98,17 @@ def main(argv=None, block=True):
     )
     variables = eval_variables(state)  # EMA weights, as at eval (eval.py:98)
 
+    sampler_kwargs = {
+        k: v for k, v in (("predictor", args.predictor),
+                          ("corrector", args.corrector),
+                          ("N", args.sampler_n))
+        if v is not None
+    } or None
     service = EnhanceService(model, variables, config=ServiceConfig(
         chunk_frames=args.chunk_frames, overlap_frames=args.overlap_frames,
         batch_size=args.batch_size, max_flight_utts=args.max_flight_utts,
         max_wait_ms=args.max_wait_ms, seed=args.seed,
+        sampler_kwargs=sampler_kwargs,
     ))
     server = make_server(service, host=args.host, port=args.port)
     host, port = server.server_address[:2]

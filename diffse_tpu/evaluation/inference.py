@@ -38,7 +38,9 @@ N_STEPS = 30
 CORRECTOR_STEPS = 1
 
 def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
-                est_snr, fixed_snr: float, noise_size=None):
+                est_snr, fixed_snr: float, noise_size=None,
+                predictor: str = "reverse_diffusion", corrector: str = "ald",
+                N: int = None, snr: float = None):
     """Branch-specific enhanced-sample computation on COMPRESSED spectrograms
     (the shared core of inference.py:152-312): X/Y are ``[B, 1, F, T]``
     complex, ``est_snr`` is ``[B]``. Returns the enhanced compressed spec
@@ -54,11 +56,15 @@ def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
     correct when the batch IS one utterance."""
     cfg = model.cfg
     if branch == "bbed":
+        # predictor/corrector/N/snr override the reference sampler config
+        # (inference.py:161-167) for this branch only, e.g. the quality-
+        # certified NFE-reduction serving config heun/none/15
+        # (SAMPLER_QUALITY.json, tools/sampler_quality.py).
         score_fn = lambda x_, t_, y_: model.forward(variables, x_, t_, y_)[0]
-        sde = model.sde.replace(N=N_STEPS)
+        sde = model.sde.replace(N=N_STEPS if N is None else N)
         sampler = get_pc_sampler(
-            "reverse_diffusion", "ald", sde=sde, score_fn=score_fn, Y=Y,
-            denoise=True, eps=cfg.t_eps, snr=SNR_ALD,
+            predictor, corrector, sde=sde, score_fn=score_fn, Y=Y,
+            denoise=True, eps=cfg.t_eps, snr=SNR_ALD if snr is None else snr,
             corrector_steps=CORRECTOR_STEPS,
         )
         sample, _ = sampler(key)

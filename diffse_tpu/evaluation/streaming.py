@@ -208,6 +208,7 @@ def enhance_streamed_spec(
     x_wav: Optional[np.ndarray] = None,
     est_snr: float = 1.0,
     fixed_snr: Optional[float] = None,
+    sampler_kwargs: Optional[dict] = None,
 ) -> np.ndarray:
     """Spec-domain streaming: ONE on-device program per (n_chunks, geometry).
 
@@ -247,8 +248,13 @@ def enhance_streamed_spec(
     xp[: min(t_orig, pad_samples)] = x_wav[:pad_samples]
 
     fs = cfg.fixed_snr if fixed_snr is None else fixed_snr
+    # sampler_kwargs (bbed only): predictor/corrector/N/snr overrides of the
+    # reference sampler config — e.g. the quality-certified NFE-reduction
+    # serving config {"predictor": "heun", "corrector": "none", "N": 15}.
+    sk = dict(sampler_kwargs or {})
     cache = _stream_cache(model)
-    cache_key = ("spec", model_type, n, chunk_frames, overlap_frames, fs)
+    cache_key = ("spec", model_type, n, chunk_frames, overlap_frames, fs,
+                 tuple(sorted(sk.items())))
     fn = cache.get(cache_key)
     if fn is None:
         weights = jnp.asarray(
@@ -262,7 +268,7 @@ def enhance_streamed_spec(
             )
             sample = spec_sample(
                 model, variables, model_type, Xc, Yc, key, est_b, fs,
-                noise_size=noise_size,
+                noise_size=noise_size, **sk,
             )
             x_hat = _spec_ola(model, sample, weights, n, step, chunk_frames,
                               total_frames, pad_samples)
@@ -302,6 +308,7 @@ def enhance_streamed_packed(
     x_wavs=None,
     est_snrs=None,
     fixed_snr: Optional[float] = None,
+    sampler_kwargs: Optional[dict] = None,
 ):
     """Fleet serving: pool spec-domain chunks ACROSS utterances into
     fixed-shape batches of the measured-optimal chunk program.
@@ -364,8 +371,11 @@ def enhance_streamed_packed(
         cache[ck] = fn
         return fn
 
+    sk = dict(sampler_kwargs or {})  # bbed sampler-config overrides
+
     def _chunk_fn():
-        ck = ("chunk", model_type, batch_size, chunk, fs)
+        ck = ("chunk", model_type, batch_size, chunk, fs,
+              tuple(sorted(sk.items())))
         fn = cache.get(ck)
         if fn is not None:
             return fn
@@ -373,11 +383,11 @@ def enhance_streamed_packed(
         if needs_noise:
             def run(variables, Xb, Yb, key, est_b, noise_b):
                 return spec_sample(model, variables, model_type, Xb, Yb, key,
-                                   est_b, fs, noise_size=noise_b)
+                                   est_b, fs, noise_size=noise_b, **sk)
         else:
             def run(variables, Xb, Yb, key, est_b):
                 return spec_sample(model, variables, model_type, Xb, Yb, key,
-                                   est_b, fs)
+                                   est_b, fs, **sk)
 
         fn = jax.jit(run)
         cache[ck] = fn

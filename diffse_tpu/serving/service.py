@@ -86,6 +86,12 @@ class ServiceConfig:
     max_queue_utts: Optional[int] = 256
     max_queue_seconds: Optional[float] = 30.0
     flight_timeout_s: Optional[float] = None
+    # bbed-branch sampler-config overrides forwarded to the chunk engine —
+    # e.g. the quality-certified NFE-reduction config
+    # {"predictor": "heun", "corrector": "none", "N": 15}
+    # (SAMPLER_QUALITY.json, tools/sampler_quality.py). None = the
+    # reference eval sampler (reverse_diffusion+ald, N=30).
+    sampler_kwargs: Optional[dict] = None
 
 
 class _Request:
@@ -301,6 +307,7 @@ class EnhanceService:
             overlap_frames=self.cfg.overlap_frames,
             batch_size=self.cfg.batch_size, est_snrs=est_snrs,
             fixed_snr=self.model.cfg.fixed_snr,
+            sampler_kwargs=self.cfg.sampler_kwargs,
         )
         wall = time.monotonic() - t0
         for r, out in zip(flight, outs):

@@ -412,3 +412,34 @@ def test_packed_v2_fixed_matches_per_utterance(monkeypatch, rng):
     for out, ref in zip(outs, refs):
         scale = np.max(np.abs(ref)) or 1.0
         np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)
+
+
+def test_spec_streaming_sampler_kwargs_override(rng):
+    """sampler_kwargs must reach the bbed chunk sampler: the certified
+    NFE-reduction config (heun/none, reduced N) runs, explicit reference
+    defaults reproduce the default path bit-exactly, and the override
+    participates in the jit cache key (no silent config reuse)."""
+    from diffse_tpu.evaluation import streaming
+    from diffse_tpu.evaluation.streaming import enhance_streamed_spec
+
+    model, variables = _model()
+    streaming._stream_cache(model).clear()
+    y = rng.standard_normal(20000).astype(np.float32) * 0.1
+    key = jax.random.PRNGKey(7)
+
+    default = enhance_streamed_spec(model, variables, y, "bbed", key)
+    explicit = enhance_streamed_spec(
+        model, variables, y, "bbed", key,
+        sampler_kwargs={"predictor": "reverse_diffusion", "corrector": "ald",
+                        "N": 30})
+    np.testing.assert_allclose(explicit, default, atol=0)
+
+    heun = enhance_streamed_spec(
+        model, variables, y, "bbed", key,
+        sampler_kwargs={"predictor": "heun", "corrector": "none", "N": 4})
+    assert heun.shape == y.shape and np.all(np.isfinite(heun))
+    assert not np.allclose(heun, default)  # genuinely different sampler
+    # three distinct programs were compiled (cache keyed on the override)
+    keys = [k for k in streaming._stream_cache(model) if k[0] == "spec"]
+    assert len(keys) == 3
+    streaming._stream_cache(model).clear()

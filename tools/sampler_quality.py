@@ -39,6 +39,10 @@ def main(argv=None):
                         help="'cpu' (default) or 'ambient' (run the samplers "
                              "on whatever JAX_PLATFORMS says — e.g. the real "
                              "TPU; needed for production-nf checkpoints)")
+    parser.add_argument("--configs", type=str, default=None,
+                        help="comma-separated subset of config labels to "
+                             "run (each config is a separate TPU compile; "
+                             "default = all six)")
     parser.add_argument("--out_json", type=str, default=None,
                         help="also write the RESULT row dict to this path "
                              "(bench.py reads it to certify the heun NFE-"
@@ -91,6 +95,13 @@ def main(argv=None):
         ("heun_N15", "heun", "none", 15, 30),
         ("heun_N8", "heun", "none", 8, 16),
     ]
+    if args.configs:
+        want = set(args.configs.split(","))
+        unknown = want - {c[0] for c in configs}
+        if unknown:
+            print(f"[sampq] unknown configs: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        configs = [c for c in configs if c[0] in want]
 
     key = jax.random.PRNGKey(1234)
 
@@ -122,7 +133,7 @@ def main(argv=None):
         print(f"[sampq] file {i + 1}/{len(clean_files)} done", flush=True)
 
     def mean(name, j):
-        v = [r[j] for r in rows[name] if np.isfinite(r[j])]
+        v = [r[j] for r in rows.get(name, []) if np.isfinite(r[j])]
         return float(np.mean(v)) if v else float("nan")
 
     ref_p, ref_s = mean("rd_ald_N30", 0), mean("rd_ald_N30", 1)
@@ -143,8 +154,16 @@ def main(argv=None):
 
     print("\nRESULT " + json.dumps(results))
     if args.out_json:
+        merged = {}
+        if os.path.exists(args.out_json):
+            try:  # --configs subsets update the existing table in place
+                with open(args.out_json) as f:
+                    merged = json.load(f)
+            except Exception:
+                merged = {}
+        merged.update(results)
         with open(args.out_json, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(merged, f, indent=1)
     return 0
 
 

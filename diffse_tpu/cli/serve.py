@@ -49,6 +49,12 @@ def main(argv=None, block=True):
     parser.add_argument("--corrector", type=str, default=None)
     parser.add_argument("--sampler_n", type=int, default=None,
                         help="bbed reverse-step count override (default 30)")
+    parser.add_argument("--timestep_type", type=str, default=None,
+                        choices=("linear", "bridge_geom", "logit"),
+                        help="bbed sampler time-grid override ('logit' = "
+                             "stiffness-aware two-sided clustering; "
+                             "required for fixed-step probability-flow "
+                             "predictors on bridge SDEs, DEVNOTES r4)")
     args = parser.parse_args(argv)
 
     from ..serving.http import make_server, serve_forever_in_thread
@@ -101,7 +107,8 @@ def main(argv=None, block=True):
     sampler_kwargs = {
         k: v for k, v in (("predictor", args.predictor),
                           ("corrector", args.corrector),
-                          ("N", args.sampler_n))
+                          ("N", args.sampler_n),
+                          ("timestep_type", args.timestep_type))
         if v is not None
     } or None
     service = EnhanceService(model, variables, config=ServiceConfig(

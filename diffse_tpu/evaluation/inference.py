@@ -40,7 +40,8 @@ CORRECTOR_STEPS = 1
 def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
                 est_snr, fixed_snr: float, noise_size=None,
                 predictor: str = "reverse_diffusion", corrector: str = "ald",
-                N: int = None, snr: float = None):
+                N: int = None, snr: float = None,
+                timestep_type: str = "linear"):
     """Branch-specific enhanced-sample computation on COMPRESSED spectrograms
     (the shared core of inference.py:152-312): X/Y are ``[B, 1, F, T]``
     complex, ``est_snr`` is ``[B]``. Returns the enhanced compressed spec
@@ -65,7 +66,7 @@ def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
         sampler = get_pc_sampler(
             predictor, corrector, sde=sde, score_fn=score_fn, Y=Y,
             denoise=True, eps=cfg.t_eps, snr=SNR_ALD if snr is None else snr,
-            corrector_steps=CORRECTOR_STEPS,
+            corrector_steps=CORRECTOR_STEPS, timestep_type=timestep_type,
         )
         sample, _ = sampler(key)
     elif branch == "sebridge":

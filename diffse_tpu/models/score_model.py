@@ -499,7 +499,7 @@ class ScoreModel:
 
     def _enhance_jit(self, branch: str, t_pad: int, n_steps: int, predictor: str,
                      corrector: str, corrector_steps: int, oracle: bool,
-                     seq_mesh=None):
+                     seq_mesh=None, timestep_type: str = "linear"):
         """Build (and cache) the jitted end-to-end enhancement function for a
         given branch and padded width: normalize -> STFT -> sample -> iSTFT,
         all one XLA program.
@@ -521,7 +521,7 @@ class ScoreModel:
             mesh_key = (seq_mesh.axis_names, seq_mesh.devices.shape,
                         tuple(d.id for d in seq_mesh.devices.flat))
         cache_key = (branch, t_pad, n_steps, predictor, corrector,
-                     corrector_steps, oracle, mesh_key)
+                     corrector_steps, oracle, mesh_key, timestep_type)
         if cache_key in self._enhance_cache:
             return self._enhance_cache[cache_key]
 
@@ -565,6 +565,7 @@ class ScoreModel:
                     predictor, corrector, sde=sde, score_fn=score_fn, Y=Y,
                     denoise=True, eps=cfg.t_eps, snr=snr,
                     corrector_steps=corrector_steps,
+                    timestep_type=timestep_type,
                 )
                 sample, ns = sampler(key)
                 nfe = ns
@@ -625,6 +626,7 @@ class ScoreModel:
         clean_rms: float = 1.0,
         noise_rms: float = 1.0,
         seq_mesh=None,
+        timestep_type: str = "linear",
         **ignored_kwargs,
     ):
         """One-call speech enhancement of noisy speech `y` (model.py:702-839).
@@ -694,7 +696,7 @@ class ScoreModel:
 
         fn = self._enhance_jit(
             branch, t_pad, N, predictor, corrector, corrector_steps, oracle,
-            seq_mesh=seq_mesh,
+            seq_mesh=seq_mesh, timestep_type=timestep_type,
         )
         x_hat, nfe = fn(
             variables, x, y, key, est_snr, jnp.asarray(snr, dtype=jnp.float32)

@@ -34,7 +34,43 @@ __all__ = [
 
 
 def timesteps_space(sde_t: float, sde_n: int, eps: float, timestep_type: str = "linear"):
-    """Linear time grid from T down to eps (sgmse/sampling/__init__.py:84-91)."""
+    """Time grid from T down to eps (sgmse/sampling/__init__.py:84-91).
+
+    ``"linear"`` (reference semantics): ``np.linspace(T, eps, N)``.
+
+    ``"bridge_geom"`` (beyond-reference): geometric spacing in ``(1 - t)`` —
+    steps cluster at the bridge's singular end t->1 where BBED's reverse
+    drift carries ``(y-x)/(1-t)``. An explicit fixed-step integrator on the
+    linear grid has ``|h/(1-t)| >> 1`` at the first reverse steps for any
+    practical N and diverges immediately (measured: the heun predictor
+    collapsed N-independently on a trained net, while the adaptive RK45 —
+    which shrinks h near t=T — was healthy; DEVNOTES round 4). Geometric
+    spacing keeps the local stiffness number ``h_i/(1-t_i) = r - 1``
+    constant across the grid.
+
+    ``"logit"`` (beyond-reference): uniform spacing in ``log(t/(1-t))`` —
+    steps cluster at BOTH singular ends. Bridge processes are stiff at t->1
+    (drift ``~1/(1-t)``) *and* t->0 (score ``~1/sigma(t)^2`` with
+    ``sigma -> 0``); ``h_i ~ du * t(1-t)`` bounds the local stiffness
+    number ``h_i * |lambda_i|`` by a constant at both ends. The analog of
+    EDM's rho-grid for sigma-parameterized diffusions (Karras et al. 2022,
+    eq. 5), adapted to the bridge's two-sided singularity.
+
+    Both alternatives are closed form, so the scan still computes t from a
+    carried counter.
+    """
+    if timestep_type in ("bridge_geom", "logit"):
+        if sde_n < 2 or not (0.0 < eps < sde_t < 1.0):
+            raise ValueError(
+                f"{timestep_type} grid needs N>=2 and 0 < eps < T < 1; "
+                f"got T={sde_t}, eps={eps}, N={sde_n}"
+            )
+        if timestep_type == "bridge_geom":
+            u = np.geomspace(1.0 - sde_t, 1.0 - eps, sde_n)
+            return (1.0 - u).astype(np.float32)
+        logit = lambda t: np.log(t / (1.0 - t))
+        u = np.linspace(logit(sde_t), logit(eps), sde_n)
+        return (1.0 / (1.0 + np.exp(-u))).astype(np.float32)
     timesteps = np.linspace(sde_t, eps, sde_n, dtype=np.float32)
     if timestep_type in (None, "linear"):
         return timesteps
@@ -95,15 +131,50 @@ def get_pc_sampler(
 
     timesteps = timesteps_space(sde.T, sde.N, eps, timestep_type)
     n_steps = len(timesteps)
-    # The linear grid is closed-form, so the scan carries only a step counter
-    # and computes t_i = T - i*delta on the fly instead of scanning over a
-    # schedule array (one less per-step gather; also works around TPU backends
-    # where scan-over-xs with large complex carries is unsupported).
+    # Both grids are closed-form, so the scan carries only a step counter and
+    # computes t_i on the fly instead of scanning over a schedule array (one
+    # less per-step gather; also works around TPU backends where scan-over-xs
+    # with large complex carries is unsupported).
     # stepsize_i = t_i - t_{i+1}; the final step integrates the remaining
     # t_{N-1} (== eps) down to 0 (sgmse/sampling/__init__.py:64-69).
     t0 = float(timesteps[0])
-    delta = float(timesteps[0] - timesteps[1]) if n_steps > 1 else float(timesteps[0])
     t_last = float(timesteps[-1])
+    if timestep_type == "bridge_geom" and n_steps > 1:
+        # t_i = 1 - (1-t0) * r^i  with  r = ((1-eps)/(1-T))^(1/(N-1)) > 1;
+        # then (1 - t_{i+1}) = (1 - t_i) * r, so the stepsize needs no
+        # second exp.
+        _r = float(((1.0 - t_last) / (1.0 - t0)) ** (1.0 / (n_steps - 1)))
+        _log_r = float(np.log(_r))
+        _u0 = 1.0 - t0
+
+        def t_of(i):
+            return 1.0 - _u0 * jnp.exp(i * _log_r)
+
+        def step_of(i, t):
+            return jnp.where(i < n_steps - 1, (1.0 - t) * (_r - 1.0), t_last)
+
+    elif timestep_type == "logit" and n_steps > 1:
+        # t_i = sigmoid(u0 + i*du), u = log(t/(1-t)) uniform (du < 0).
+        _lu0 = float(np.log(t0 / (1.0 - t0)))
+        _du = float(
+            (np.log(t_last / (1.0 - t_last)) - _lu0) / (n_steps - 1)
+        )
+
+        def t_of(i):
+            return jax.nn.sigmoid(_lu0 + i * _du)
+
+        def step_of(i, t):
+            t_next = jax.nn.sigmoid(_lu0 + (i + 1.0) * _du)
+            return jnp.where(i < n_steps - 1, t - t_next, t_last)
+
+    else:
+        delta = float(timesteps[0] - timesteps[1]) if n_steps > 1 else t0
+
+        def t_of(i):
+            return t0 - i * delta
+
+        def step_of(i, t):
+            return jnp.where(i < n_steps - 1, delta, t_last)
 
     y_cond = Y
     y_prior = Y if Y_prior is None else Y_prior
@@ -124,8 +195,8 @@ def get_pc_sampler(
 
     def step_update(x, k, i):
         k, kc, kp = jax.random.split(k, 3)
-        t = t0 - i * delta
-        stepsize = jnp.where(i < n_steps - 1, delta, t_last)
+        t = t_of(i)
+        stepsize = step_of(i, t)
         vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
         x, x_mean = corrector.update_fn(kc, x, vec_t, y_cond)
         x, x_mean = predictor.update_fn(kp, x, vec_t, y_cond, stepsize)
@@ -150,7 +221,7 @@ def get_pc_sampler(
             # final step, same f32 arithmetic as in-scan (t from the
             # carried counter, not the numpy grid value)
             k, kc, kp = jax.random.split(k, 3)
-            t = t0 - i * delta
+            t = t_of(i)
             vec_t = jnp.full((batch,), 1.0, dtype=jnp.float32) * t
             x, _ = corrector.update_fn(kc, x, vec_t, y_cond)
             x_mean = predictor.update_mean(kp, x, vec_t, y_cond, t_last)

@@ -413,3 +413,144 @@ def test_pc_sampler_heun_recovers_x0():
     assert ns == 30  # 15 steps x 2 score evals
     rel = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
     assert rel < 0.15, f"heun sampler missed x0: rel={rel}"
+
+
+def test_timesteps_space_bridge_geom():
+    """Geometric-in-(1-t) grid: correct endpoints, monotone decreasing,
+    constant ratio in (1-t)."""
+    ts = timesteps_space(0.999, 30, 0.03, "bridge_geom")
+    assert len(ts) == 30
+    np.testing.assert_allclose(ts[0], 0.999, rtol=1e-6)
+    np.testing.assert_allclose(ts[-1], 0.03, rtol=1e-5)
+    assert np.all(np.diff(ts) < 0)
+    ratios = (1.0 - ts[1:]) / (1.0 - ts[:-1])
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-4)
+    # steps cluster at the singular end: first step << linear step
+    assert (ts[0] - ts[1]) < (0.999 - 0.03) / 29 / 10
+
+
+def test_timesteps_space_logit():
+    """Logit grid: correct endpoints, monotone, uniform in log(t/(1-t)),
+    clustering at BOTH ends relative to the interior."""
+    ts = timesteps_space(0.999, 30, 0.03, "logit")
+    assert len(ts) == 30
+    np.testing.assert_allclose(ts[0], 0.999, rtol=1e-6)
+    np.testing.assert_allclose(ts[-1], 0.03, rtol=1e-5)
+    assert np.all(np.diff(ts) < 0)
+    u = np.log(ts.astype(np.float64) / (1.0 - ts.astype(np.float64)))
+    du = np.diff(u)
+    np.testing.assert_allclose(du, du[0], rtol=1e-3)
+    steps = -np.diff(ts)
+    assert steps[0] < steps.max() / 10        # clustered at t -> 1
+    assert steps[-1] < steps.max() / 2        # and tighter again at t -> eps
+    with pytest.raises(ValueError):
+        timesteps_space(0.999, 1, 0.03, "logit")
+
+
+@pytest.mark.parametrize("grid", ["bridge_geom", "logit"])
+def test_scan_sampler_matches_python_loop_alt_grids(grid):
+    """The counter-based closed-form schedule for the alternative grids must
+    match an explicit python loop over timesteps_space, step for step."""
+    from diffse_tpu.sampling.correctors import AnnealedLangevinDynamics
+    from diffse_tpu.sampling.predictors import ReverseDiffusionPredictor
+
+    key = jax.random.PRNGKey(21)
+    x0, y = _make_problem(key, shape=(1, 1, 8, 8))
+    sde = BBED(N=12)
+    score = _true_score(sde, x0)
+    eps, snr_v = 0.03, 0.5
+
+    sampler = get_pc_sampler("reverse_diffusion", "ald", sde, score, Y=y,
+                             denoise=True, eps=eps, snr=snr_v,
+                             corrector_steps=1, timestep_type=grid)
+    sample_key = jax.random.PRNGKey(99)
+    scan_out, _ = sampler(sample_key)
+
+    predictor = ReverseDiffusionPredictor(sde, score)
+    corrector = AnnealedLangevinDynamics(sde, score, snr=snr_v, n_steps=1)
+    prior_key, scan_key = jax.random.split(sample_key)
+    xt, _ = sde.prior_sampling(prior_key, y)
+    ts = timesteps_space(sde.T, sde.N, eps, grid)
+    k = scan_key
+    x_mean = xt
+    for i, t in enumerate(ts):
+        stepsize = ts[i] - ts[i + 1] if i < len(ts) - 1 else ts[-1]
+        k, kc, kp = jax.random.split(k, 3)
+        vec_t = jnp.full((1,), float(t))
+        xt, x_mean = corrector.update_fn(kc, xt, vec_t, y)
+        xt, x_mean = predictor.update_fn(kp, xt, vec_t, y, float(stepsize))
+
+    np.testing.assert_allclose(np.asarray(scan_out), np.asarray(x_mean),
+                               rtol=2e-3, atol=2e-4)
+
+
+def _saturating_score(sde, x0, radius=3.0):
+    """A manifold-limited score: exact within ``radius`` marginal stds of the
+    mean, saturated (clipped toward the boundary) outside. Models a trained
+    network, which is only accurate on inputs near the data distribution it
+    saw — unlike the globally-affine exact score, which is right even at a
+    30x overshoot and so cannot reproduce the trained-model heun collapse
+    (DEVNOTES round 4)."""
+
+    def score(x, t, y):
+        mean, std = sde.marginal_prob(x0, t, y)
+        s2 = (std[:, None, None, None] ** 2).astype(x.dtype)
+        d = x - mean
+        # per-sample rms deviation in units of std
+        dev = jnp.sqrt(jnp.mean(jnp.abs(d) ** 2, axis=(1, 2, 3), keepdims=True))
+        lim = radius * std[:, None, None, None]
+        scale = jnp.minimum(1.0, lim / jnp.maximum(dev, 1e-20)).astype(x.dtype)
+        return -(d * scale) / s2
+
+    return score
+
+
+def test_heun_linear_grid_collapses_with_saturating_score():
+    """Reproduces the trained-model heun failure mode: on the LINEAR grid the
+    first reverse step of BBED (drift ~1/(1-T) = 1000x) makes heun's inner
+    Euler stage overshoot ~h/(1-T) ~ 30x off-manifold, where a realistic
+    (saturating) score is wrong, and the trajectory never recovers — while
+    the same sampler on the logit grid, whose first steps satisfy
+    h ~ du*t(1-t), stays on-manifold and recovers x0. reverse_diffusion on
+    the linear grid is unaffected (its update is contraction-structured, no
+    overshooting inner stage) — which is exactly the asymmetry measured on
+    the trained 65M checkpoint."""
+    key = jax.random.PRNGKey(5)
+    x0, y = _make_problem(key)
+    sde = BBED(N=15)
+    score = _saturating_score(sde, x0)
+    rel = lambda s: float(jnp.linalg.norm(s - x0) / jnp.linalg.norm(x0))
+
+    out = {}
+    for grid in ("linear", "logit", "bridge_geom"):
+        sampler = get_pc_sampler("heun", "none", sde, score, Y=y,
+                                 denoise=False, eps=0.03, timestep_type=grid)
+        sample, _ = jax.jit(sampler)(jax.random.PRNGKey(1))
+        out[grid] = rel(sample)
+
+    # rd+ald control: fine on the linear grid even with the saturating score
+    rd = get_pc_sampler("reverse_diffusion", "ald", sde, score, Y=y,
+                        denoise=True, eps=0.03, snr=0.5)
+    rd_out, _ = jax.jit(rd)(jax.random.PRNGKey(1))
+    assert rel(rd_out) < 0.2, f"rd+ald control broke: {rel(rd_out)}"
+
+    assert out["linear"] > 1.0, (
+        f"expected linear-grid heun collapse under saturating score: {out}")
+    assert out["logit"] < 0.15, f"logit grid did not fix heun: {out}"
+    assert out["bridge_geom"] < 0.5, f"geom grid did not help heun: {out}"
+
+
+@pytest.mark.parametrize("grid", ["bridge_geom", "logit"])
+def test_pc_sampler_alt_grid_recovers_x0(grid):
+    """Exact-score sanity on the alternative grids for both rd+ald and heun."""
+    key = jax.random.PRNGKey(42)
+    x0, y = _make_problem(key)
+    sde = BBED(N=15)
+    score = _true_score(sde, x0)
+    for pred, corr, denoise in (("reverse_diffusion", "ald", True),
+                                ("heun", "none", False)):
+        sampler = get_pc_sampler(pred, corr, sde, score, Y=y, denoise=denoise,
+                                 eps=0.03, snr=0.5, timestep_type=grid)
+        sample, _ = jax.jit(sampler)(jax.random.PRNGKey(1))
+        rel = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
+        assert rel < 0.2, f"{pred}/{grid} missed x0: rel={rel}"

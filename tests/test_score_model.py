@@ -244,3 +244,30 @@ def test_enhance_length_variation_reuses_one_compile():
     assert jitted._cache_size() == 1, (
         f"same bucket must not retrace per length, traces={jitted._cache_size()}"
     )
+
+
+def test_enhance_timestep_type_logit():
+    """enhance(timestep_type=...) threads the sampler grid through the jit
+    cache: a logit-grid run compiles a separate program, changes the output
+    (different t schedule), and stays finite."""
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", model_type="bbed",
+        snr_conditioned="false", sigma_max=0.5,
+    )
+    backbone = dict(nf=4, ch_mult=(1, 1, 1, 1, 1), num_res_blocks=1,
+                    attn_resolutions=(16,), image_size=256)
+    model = ScoreModel(
+        cfg, backbone_kwargs=backbone,
+        sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52, N=30),
+    )
+    variables = model.init_variables(jax.random.PRNGKey(0), num_frames=64)
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32) * 0.1)
+
+    out_lin = model.enhance(variables, y, y, key=jax.random.PRNGKey(1), N=4)
+    out_logit = model.enhance(variables, y, y, key=jax.random.PRNGKey(1), N=4,
+                              timestep_type="logit")
+    assert len(model._enhance_cache) == 2
+    assert np.all(np.isfinite(out_logit))
+    assert not np.allclose(out_lin, out_logit)

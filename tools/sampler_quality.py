@@ -86,14 +86,23 @@ def main(argv=None):
         for f in os.listdir(os.path.join(valid, "clean"))
     )[: args.num_files]
 
-    # (label, predictor, corrector, N, nfe)
+    # (label, predictor, corrector, N, nfe, timestep_type)
     configs = [
-        ("rd_ald_N30", "reverse_diffusion", "ald", 30, 60),  # reference config
-        ("rd_ald_N15", "reverse_diffusion", "ald", 15, 30),
-        ("rd_ald_N8", "reverse_diffusion", "ald", 8, 16),
-        ("heun_N30", "heun", "none", 30, 60),
-        ("heun_N15", "heun", "none", 15, 30),
-        ("heun_N8", "heun", "none", 8, 16),
+        # reference config (sgmse-bbed/eval.py:126-132, linear grid)
+        ("rd_ald_N30", "reverse_diffusion", "ald", 30, 60, "linear"),
+        ("rd_ald_N15", "reverse_diffusion", "ald", 15, 30, "linear"),
+        ("rd_ald_N8", "reverse_diffusion", "ald", 8, 16, "linear"),
+        ("heun_N30", "heun", "none", 30, 60, "linear"),
+        ("heun_N15", "heun", "none", 15, 30, "linear"),
+        ("heun_N8", "heun", "none", 8, 16, "linear"),
+        # 30-NFE candidates after the round-4 stiffness diagnosis (DEVNOTES):
+        # corrector-free reference predictor; logit-grid (two-sided step
+        # clustering) variants of both the stochastic and the 2nd-order
+        # deterministic sampler.
+        ("rd_only_N30", "reverse_diffusion", "none", 30, 30, "linear"),
+        ("rd_ald_logit_N15", "reverse_diffusion", "ald", 15, 30, "logit"),
+        ("heun_logit_N15", "heun", "none", 15, 30, "logit"),
+        ("heun_logit_N30", "heun", "none", 30, 60, "logit"),
     ]
     if args.configs:
         want = set(args.configs.split(","))
@@ -122,12 +131,12 @@ def main(argv=None):
         x1, y1 = x[0], y[0]
         k = jax.random.fold_in(key, i)
         add("mixture", score(x1, y1))
-        for label, pred, corr, n_steps, _nfe in configs:
+        for label, pred, corr, n_steps, _nfe, grid in configs:
             x_hat = model.enhance(
                 variables, jnp.asarray(x), jnp.asarray(y), key=k,
                 sampler_type="pc", predictor=pred, corrector=corr,
                 corrector_steps=1, N=n_steps, snr=0.5, oracle=False,
-                clean_rms=1, noise_rms=1,
+                clean_rms=1, noise_rms=1, timestep_type=grid,
             )
             add(label, score(x1, np.asarray(x_hat)))
         print(f"[sampq] file {i + 1}/{len(clean_files)} done", flush=True)
@@ -162,6 +171,16 @@ def main(argv=None):
             except Exception:
                 merged = {}
         merged.update(results)
+        ref = merged.get("rd_ald_N30")
+        if ref:  # recompute deltas against the merged reference row, so a
+            # --configs subset run (no rd_ald_N30 recompute) still gets
+            # meaningful d_pesq/d_si_sdr (same files + same per-file keys
+            # across runs => comparable)
+            for name, row in merged.items():
+                if name == "mixture":
+                    continue
+                row["d_pesq"] = round(row["pesq"] - ref["pesq"], 3)
+                row["d_si_sdr"] = round(row["si_sdr"] - ref["si_sdr"], 2)
         with open(args.out_json, "w") as f:
             json.dump(merged, f, indent=1)
     return 0

@@ -86,31 +86,45 @@ def main(argv=None):
         for f in os.listdir(os.path.join(valid, "clean"))
     )[: args.num_files]
 
-    # (label, predictor, corrector, N, nfe, timestep_type)
+    def C(label, pred, corr, n, nfe, grid="linear", snr=0.5, csteps=1):
+        return dict(label=label, predictor=pred, corrector=corr, N=n,
+                    nfe=nfe, grid=grid, snr=snr, corrector_steps=csteps)
+
     configs = [
         # reference config (sgmse-bbed/eval.py:126-132, linear grid)
-        ("rd_ald_N30", "reverse_diffusion", "ald", 30, 60, "linear"),
-        ("rd_ald_N15", "reverse_diffusion", "ald", 15, 30, "linear"),
-        ("rd_ald_N8", "reverse_diffusion", "ald", 8, 16, "linear"),
-        ("heun_N30", "heun", "none", 30, 60, "linear"),
-        ("heun_N15", "heun", "none", 15, 30, "linear"),
-        ("heun_N8", "heun", "none", 8, 16, "linear"),
-        # 30-NFE candidates after the round-4 stiffness diagnosis (DEVNOTES):
-        # corrector-free reference predictor; logit-grid (two-sided step
-        # clustering) variants of both the stochastic and the 2nd-order
-        # deterministic sampler.
-        ("rd_only_N30", "reverse_diffusion", "none", 30, 30, "linear"),
-        ("rd_ald_logit_N15", "reverse_diffusion", "ald", 15, 30, "logit"),
-        ("heun_logit_N15", "heun", "none", 15, 30, "logit"),
-        ("heun_logit_N30", "heun", "none", 30, 60, "logit"),
+        C("rd_ald_N30", "reverse_diffusion", "ald", 30, 60),
+        C("rd_ald_N15", "reverse_diffusion", "ald", 15, 30),
+        C("rd_ald_N8", "reverse_diffusion", "ald", 8, 16),
+        C("heun_N30", "heun", "none", 30, 60),
+        C("heun_N15", "heun", "none", 15, 30),
+        C("heun_N8", "heun", "none", 8, 16),
+        # reduced-NFE candidates after the round-4 stiffness diagnosis
+        # (DEVNOTES): corrector-free reference predictor; logit-grid
+        # (two-sided step clustering) variants of the stochastic and the
+        # 2nd-order deterministic sampler; corrector-snr and
+        # corrector-steps variations of the strongest stochastic candidate
+        # (snr is a traced arg — its variants share one compile).
+        C("rd_only_N30", "reverse_diffusion", "none", 30, 30),
+        C("rd_ald_logit_N15", "reverse_diffusion", "ald", 15, 30, "logit"),
+        C("heun_logit_N15", "heun", "none", 15, 30, "logit"),
+        C("heun_logit_N30", "heun", "none", 30, 60, "logit"),
+        C("rd_ald_logit_N20", "reverse_diffusion", "ald", 20, 40, "logit"),
+        C("rd_ald_logit_N15_snr0.3", "reverse_diffusion", "ald", 15, 30,
+          "logit", snr=0.3),
+        C("rd_ald_logit_N15_snr0.7", "reverse_diffusion", "ald", 15, 30,
+          "logit", snr=0.7),
+        C("rd_ald_logit_N15_snr1.0", "reverse_diffusion", "ald", 15, 30,
+          "logit", snr=1.0),
+        C("rd_ald2_logit_N10", "reverse_diffusion", "ald", 10, 30, "logit",
+          csteps=2),
     ]
     if args.configs:
         want = set(args.configs.split(","))
-        unknown = want - {c[0] for c in configs}
+        unknown = want - {c["label"] for c in configs}
         if unknown:
             print(f"[sampq] unknown configs: {sorted(unknown)}", file=sys.stderr)
             return 2
-        configs = [c for c in configs if c[0] in want]
+        configs = [c for c in configs if c["label"] in want]
 
     key = jax.random.PRNGKey(1234)
 
@@ -131,14 +145,16 @@ def main(argv=None):
         x1, y1 = x[0], y[0]
         k = jax.random.fold_in(key, i)
         add("mixture", score(x1, y1))
-        for label, pred, corr, n_steps, _nfe, grid in configs:
+        for c in configs:
             x_hat = model.enhance(
                 variables, jnp.asarray(x), jnp.asarray(y), key=k,
-                sampler_type="pc", predictor=pred, corrector=corr,
-                corrector_steps=1, N=n_steps, snr=0.5, oracle=False,
-                clean_rms=1, noise_rms=1, timestep_type=grid,
+                sampler_type="pc", predictor=c["predictor"],
+                corrector=c["corrector"],
+                corrector_steps=c["corrector_steps"], N=c["N"],
+                snr=c["snr"], oracle=False,
+                clean_rms=1, noise_rms=1, timestep_type=c["grid"],
             )
-            add(label, score(x1, np.asarray(x_hat)))
+            add(c["label"], score(x1, np.asarray(x_hat)))
         print(f"[sampq] file {i + 1}/{len(clean_files)} done", flush=True)
 
     def mean(name, j):
@@ -149,7 +165,7 @@ def main(argv=None):
     print(f"\n{'config':<12} {'nfe':>4} {'pesq':>7} {'si_sdr':>8} {'estoi':>7} "
           f"{'dPESQ':>7} {'dSISDR':>8}")
     results = {}
-    nfe_of = {c[0]: c[4] for c in configs}
+    nfe_of = {c["label"]: c["nfe"] for c in configs}
     for name in rows:
         p, s, e = mean(name, 0), mean(name, 1), mean(name, 2)
         dp = p - ref_p if name != "mixture" else 0.0

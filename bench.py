@@ -430,7 +430,8 @@ def run_stage(stage: str):
                 sampler = get_pc_sampler(
                     scfg["predictor"], scfg["corrector"], sde=sde_c,
                     score_fn=score_fn, Y=Y, denoise=True, eps=cfg.t_eps,
-                    snr=0.5, corrector_steps=1,
+                    snr=scfg.get("snr", 0.5),
+                    corrector_steps=scfg.get("corrector_steps", 1),
                     timestep_type=scfg["timestep_type"],
                 )
                 sample, _ = sampler(key)
@@ -464,6 +465,9 @@ def run_stage(stage: str):
                 k: scfg[k] for k in
                 ("predictor", "corrector", "N", "timestep_type")
             }
+            extra["certified_sampler"]["snr"] = scfg.get("snr", 0.5)
+            extra["certified_sampler"]["corrector_steps"] = scfg.get(
+                "corrector_steps", 1)
             extra["certified_quality"] = cert
         except _SkipStage:
             pass
@@ -566,6 +570,20 @@ CERT_CANDIDATES = {
                      N=15, timestep_type="linear", nfe=30),
     "heun_logit_N15": dict(predictor="heun", corrector="none",
                            N=15, timestep_type="logit", nfe=30),
+    "rd_ald_logit_N20": dict(predictor="reverse_diffusion", corrector="ald",
+                             N=20, timestep_type="logit", nfe=40),
+    "rd_ald_logit_N15_snr0.3": dict(
+        predictor="reverse_diffusion", corrector="ald", N=15,
+        timestep_type="logit", nfe=30, snr=0.3),
+    "rd_ald_logit_N15_snr0.7": dict(
+        predictor="reverse_diffusion", corrector="ald", N=15,
+        timestep_type="logit", nfe=30, snr=0.7),
+    "rd_ald_logit_N15_snr1.0": dict(
+        predictor="reverse_diffusion", corrector="ald", N=15,
+        timestep_type="logit", nfe=30, snr=1.0),
+    "rd_ald2_logit_N10": dict(
+        predictor="reverse_diffusion", corrector="ald", N=10,
+        timestep_type="logit", nfe=30, corrector_steps=2),
 }
 
 
@@ -597,6 +615,19 @@ def _load_certified_config():
         d_si = round(row["si_sdr"] - ref["si_sdr"], 2)
         if not (d_pesq >= -0.05 and d_si >= -0.5):
             continue
+        # Guard against selection bias (the candidate table was chosen on
+        # the sweep's selection files): when an out-of-selection validation
+        # exists (tools/sampler_quality.py --label_suffix _holdout on the
+        # test split), the candidate must pass there too.
+        holdout = None
+        hrow, href = rows.get(label + "_holdout"), rows.get("rd_ald_N30_holdout")
+        if hrow and href:
+            hd_pesq = round(hrow["pesq"] - href["pesq"], 3)
+            hd_si = round(hrow["si_sdr"] - href["si_sdr"], 2)
+            if not (hd_pesq >= -0.05 and hd_si >= -0.5):
+                continue
+            holdout = {"d_pesq": hd_pesq, "d_si_sdr": hd_si,
+                       "candidate": hrow, "rd_ald_n30": href}
         key = (scfg["nfe"], -row["pesq"])
         if best is None or key < best[0]:
             cert = {
@@ -605,6 +636,7 @@ def _load_certified_config():
                 "d_si_sdr_vs_rd_ald_n30": d_si,
                 "candidate": row,
                 "rd_ald_n30": ref,
+                "holdout_validation": holdout,
                 "source": "SAMPLER_QUALITY.json (tools/sampler_quality.py)",
             }
             best = (key, (label, scfg, cert))

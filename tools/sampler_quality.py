@@ -45,8 +45,14 @@ def main(argv=None):
                              "default = all six)")
     parser.add_argument("--out_json", type=str, default=None,
                         help="also write the RESULT row dict to this path "
-                             "(bench.py reads it to certify the heun NFE-"
+                             "(bench.py reads it to certify the NFE-"
                              "reduction serving config)")
+    parser.add_argument("--label_suffix", type=str, default="",
+                        help="suffix every row label (e.g. '_holdout' for "
+                             "an out-of-selection validation run on "
+                             "--eval_dir=<data>/test; suffixed rows coexist "
+                             "with the selection rows in --out_json and are "
+                             "ignored by bench.py's candidate table)")
     args = parser.parse_args(argv)
 
     import jax
@@ -144,7 +150,7 @@ def main(argv=None):
         y, _ = read_wav(nfle)
         x1, y1 = x[0], y[0]
         k = jax.random.fold_in(key, i)
-        add("mixture", score(x1, y1))
+        add("mixture" + args.label_suffix, score(x1, y1))
         for c in configs:
             x_hat = model.enhance(
                 variables, jnp.asarray(x), jnp.asarray(y), key=k,
@@ -154,26 +160,28 @@ def main(argv=None):
                 snr=c["snr"], oracle=False,
                 clean_rms=1, noise_rms=1, timestep_type=c["grid"],
             )
-            add(c["label"], score(x1, np.asarray(x_hat)))
+            add(c["label"] + args.label_suffix, score(x1, np.asarray(x_hat)))
         print(f"[sampq] file {i + 1}/{len(clean_files)} done", flush=True)
 
     def mean(name, j):
         v = [r[j] for r in rows.get(name, []) if np.isfinite(r[j])]
         return float(np.mean(v)) if v else float("nan")
 
-    ref_p, ref_s = mean("rd_ald_N30", 0), mean("rd_ald_N30", 1)
+    sfx = args.label_suffix
+    ref_label = "rd_ald_N30" + sfx
+    ref_p, ref_s = mean(ref_label, 0), mean(ref_label, 1)
     print(f"\n{'config':<12} {'nfe':>4} {'pesq':>7} {'si_sdr':>8} {'estoi':>7} "
           f"{'dPESQ':>7} {'dSISDR':>8}")
     results = {}
-    nfe_of = {c["label"]: c["nfe"] for c in configs}
+    nfe_of = {c["label"] + sfx: c["nfe"] for c in configs}
     for name in rows:
         p, s, e = mean(name, 0), mean(name, 1), mean(name, 2)
-        dp = p - ref_p if name != "mixture" else 0.0
-        ds = s - ref_s if name != "mixture" else 0.0
+        dp = p - ref_p if name != "mixture" + sfx else 0.0
+        ds = s - ref_s if name != "mixture" + sfx else 0.0
         nfe = nfe_of.get(name, 0)
         results[name] = dict(nfe=nfe, pesq=round(p, 3), si_sdr=round(s, 2),
                              estoi=round(e, 3), d_pesq=round(dp, 3),
-                             d_si_sdr=round(ds, 2))
+                             d_si_sdr=round(ds, 2), ref=ref_label)
         print(f"{name:<12} {nfe:>4} {p:>7.3f} {s:>8.2f} {e:>7.3f} "
               f"{dp:>7.3f} {ds:>8.2f}")
 
@@ -187,16 +195,19 @@ def main(argv=None):
             except Exception:
                 merged = {}
         merged.update(results)
-        ref = merged.get("rd_ald_N30")
-        if ref:  # recompute deltas against the merged reference row, so a
-            # --configs subset run (no rd_ald_N30 recompute) still gets
-            # meaningful d_pesq/d_si_sdr (same files + same per-file keys
-            # across runs => comparable)
-            for name, row in merged.items():
-                if name == "mixture":
-                    continue
-                row["d_pesq"] = round(row["pesq"] - ref["pesq"], 3)
-                row["d_si_sdr"] = round(row["si_sdr"] - ref["si_sdr"], 2)
+        # Recompute deltas against each row's own reference row (default:
+        # the selection-set rd_ald_N30), so a --configs subset run still
+        # gets meaningful d_pesq/d_si_sdr (same files + same per-file keys
+        # across runs => comparable), and _holdout rows compare within
+        # their own file set.
+        for name, row in merged.items():
+            if name.startswith("mixture"):
+                continue
+            ref = merged.get(row.get("ref", "rd_ald_N30"))
+            if not ref or ref is row:
+                continue
+            row["d_pesq"] = round(row["pesq"] - ref["pesq"], 3)
+            row["d_si_sdr"] = round(row["si_sdr"] - ref["si_sdr"], 2)
         with open(args.out_json, "w") as f:
             json.dump(merged, f, indent=1)
     return 0

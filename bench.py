@@ -587,7 +587,7 @@ CERT_CANDIDATES = {
 }
 
 
-def _load_certified_config():
+def _load_certified_config(path=None):
     """Pick the best quality-certified reduced-NFE serving config.
 
     tools/sampler_quality.py --out_json writes per-config PESQ/SI-SDR/ESTOI
@@ -598,8 +598,9 @@ def _load_certified_config():
     lowest NFE wins (ties: highest PESQ). Returns (label, config, summary)
     or None — without a certification no reduced-NFE number can ever be the
     headline."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SAMPLER_QUALITY.json")
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SAMPLER_QUALITY.json")
     try:
         with open(path) as f:
             rows = json.load(f)

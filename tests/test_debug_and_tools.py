@@ -93,3 +93,54 @@ def test_single_snrize_tool(tmp_path):
         c_rms, n_rms = active_rms(c[0], n[0])
         snr = 20 * np.log10(c_rms / n_rms)
         assert abs(snr - (-5.0)) < 0.3, snr
+
+
+def test_bench_certified_config_selection(tmp_path):
+    """bench._load_certified_config picks the lowest-NFE candidate within
+    tolerance, refuses candidates that fail their _holdout rows, and returns
+    None with no certified candidate."""
+    import json as _json
+
+    import bench
+
+    ref = dict(nfe=60, pesq=2.463, si_sdr=-3.54)
+
+    def write(rows):
+        p = tmp_path / "sq.json"
+        p.write_text(_json.dumps(rows))
+        return str(p)
+
+    # no candidate rows -> None
+    assert bench._load_certified_config(write({"rd_ald_N30": ref})) is None
+
+    # out-of-tolerance candidate -> None
+    rows = {"rd_ald_N30": ref,
+            "rd_ald_N15": dict(nfe=30, pesq=2.322, si_sdr=-4.17)}
+    assert bench._load_certified_config(write(rows)) is None
+
+    # two in-tolerance 30-NFE candidates -> higher PESQ wins; 40-NFE loses
+    rows = {
+        "rd_ald_N30": ref,
+        "rd_ald_logit_N20": dict(nfe=40, pesq=2.414, si_sdr=-3.59),
+        "rd_ald_logit_N15_snr0.7": dict(nfe=30, pesq=2.433, si_sdr=-3.69),
+        "rd_ald2_logit_N10": dict(nfe=30, pesq=2.451, si_sdr=-3.83),
+    }
+    label, scfg, cert = bench._load_certified_config(write(rows))
+    assert label == "rd_ald2_logit_N10"
+    assert scfg["corrector_steps"] == 2 and scfg["N"] == 10
+    assert cert["certified"] and cert["holdout_validation"] is None
+
+    # failing holdout row disqualifies the winner; runner-up takes over
+    rows2 = dict(rows)
+    rows2["rd_ald_N30_holdout"] = dict(nfe=60, pesq=2.5, si_sdr=-3.0)
+    rows2["rd_ald2_logit_N10_holdout"] = dict(nfe=30, pesq=2.2, si_sdr=-3.2)
+    label2, _, cert2 = bench._load_certified_config(write(rows2))
+    assert label2 == "rd_ald_logit_N15_snr0.7"
+    assert cert2["holdout_validation"] is None  # runner-up has no holdout row
+
+    # passing holdout row keeps the winner and records the check
+    rows3 = dict(rows2)
+    rows3["rd_ald2_logit_N10_holdout"] = dict(nfe=30, pesq=2.49, si_sdr=-3.3)
+    label3, _, cert3 = bench._load_certified_config(write(rows3))
+    assert label3 == "rd_ald2_logit_N10"
+    assert cert3["holdout_validation"]["d_pesq"] == -0.01

@@ -148,6 +148,25 @@ def main(argv=None):
     _pesq_sum = 0.0
     key = jax.random.PRNGKey(0)
 
+    # bbed sampler-config overrides for the batched/streaming serving paths
+    # (e.g. the certified 30-NFE config rd_ald2_logit_N10: --N 10
+    # --corrector_steps 2 --timestep_type logit); only non-defaults are
+    # forwarded so the default path keeps its exact cache keys.
+    _sk_defaults = {"predictor": "reverse_diffusion", "corrector": "ald",
+                    "N": 30, "snr": 0.5, "corrector_steps": 1,
+                    "timestep_type": "linear"}
+    sampler_sk = {
+        k: v for k, v in (
+            ("predictor", args.predictor),
+            ("corrector", args.corrector),
+            ("N", N),
+            ("snr", args.snr),
+            ("corrector_steps", args.corrector_steps),
+            ("timestep_type", args.timestep_type),
+        )
+        if v != _sk_defaults[k]
+    } or None
+
     if args.eval_batch_size > 1:
         # Bucketed batched evaluation (production-serving path); combined
         # with --streaming_chunk_frames, chunks are pooled ACROSS utterances
@@ -181,11 +200,13 @@ def main(argv=None):
                 chunk_frames=args.streaming_chunk_frames,
                 overlap_frames=args.streaming_overlap_frames,
                 batch_size=args.eval_batch_size, x_wavs=xs,
-                est_snrs=est_snrs, fixed_snr=model.cfg.fixed_snr)
+                est_snrs=est_snrs, fixed_snr=model.cfg.fixed_snr,
+                sampler_kwargs=sampler_sk)
         else:
             outs = batch_enhance(model, variables, xs, ys, mt, key,
                                  batch_size=args.eval_batch_size, est_snrs=est_snrs,
-                                 fixed_snr=model.cfg.fixed_snr)
+                                 fixed_snr=model.cfg.fixed_snr,
+                                 sampler_kwargs=sampler_sk)
         for filename, x1, x_hat in zip(names, xs, outs):
             write_wav(join(target_dir, "all", filename), x_hat, sr)
             p = pesq_wb(sr, x1, x_hat)
@@ -217,6 +238,7 @@ def main(argv=None):
                     chunk_frames=args.streaming_chunk_frames,
                     overlap_frames=args.streaming_overlap_frames,
                     x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
+                    sampler_kwargs=sampler_sk,
                 )
             else:
                 x_hat = enhance_streamed(
@@ -225,6 +247,7 @@ def main(argv=None):
                     overlap_frames=args.streaming_overlap_frames,
                     trim_frames=args.streaming_trim_frames,
                     x_wav=x[0], est_snr=est_snr, fixed_snr=model.cfg.fixed_snr,
+                    sampler_kwargs=sampler_sk,
                 )
             x1 = x[0][: len(x_hat)]
             write_wav(join(target_dir, "all", filename), x_hat, sr)

@@ -49,6 +49,10 @@ def main(argv=None, block=True):
     parser.add_argument("--corrector", type=str, default=None)
     parser.add_argument("--sampler_n", type=int, default=None,
                         help="bbed reverse-step count override (default 30)")
+    parser.add_argument("--corrector_steps", type=int, default=None,
+                        help="bbed corrector inner steps per reverse step "
+                             "(default 1; the certified 30-NFE config "
+                             "rd_ald2_logit_N10 uses 2 — SAMPLER_QUALITY)")
     parser.add_argument("--timestep_type", type=str, default=None,
                         choices=("linear", "bridge_geom", "logit"),
                         help="bbed sampler time-grid override ('logit' = "
@@ -108,7 +112,8 @@ def main(argv=None, block=True):
         k: v for k, v in (("predictor", args.predictor),
                           ("corrector", args.corrector),
                           ("N", args.sampler_n),
-                          ("timestep_type", args.timestep_type))
+                          ("timestep_type", args.timestep_type),
+                          ("corrector_steps", args.corrector_steps))
         if v is not None
     } or None
     service = EnhanceService(model, variables, config=ServiceConfig(

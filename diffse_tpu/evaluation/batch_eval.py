@@ -56,6 +56,7 @@ def batch_enhance(
     est_snrs: Optional[Sequence[float]] = None,
     fixed_snr: Optional[float] = None,
     mesh=None,
+    sampler_kwargs: Optional[dict] = None,
 ) -> List[np.ndarray]:
     """Enhance a list of utterances with bucketed batching.
 
@@ -106,7 +107,8 @@ def batch_enhance(
         """Enqueue the device program asynchronously (JAX dispatch does not
         block); returns the in-flight device array."""
         xb, yb, est = prepped
-        fn = _eval_fn(model, model_type, t_pad, fixed_snr=fixed_snr)
+        fn = _eval_fn(model, model_type, t_pad, fixed_snr=fixed_snr,
+                      sampler_kwargs=sampler_kwargs)
         xj, yj, ej = jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(est)
         if put is not None and len(idxs) % len(mesh.devices.flat) == 0:
             xj, yj, ej = put(xj), put(yj), put(ej)

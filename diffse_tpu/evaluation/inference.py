@@ -41,7 +41,7 @@ def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
                 est_snr, fixed_snr: float, noise_size=None,
                 predictor: str = "reverse_diffusion", corrector: str = "ald",
                 N: int = None, snr: float = None,
-                timestep_type: str = "linear"):
+                timestep_type: str = "linear", corrector_steps: int = None):
     """Branch-specific enhanced-sample computation on COMPRESSED spectrograms
     (the shared core of inference.py:152-312): X/Y are ``[B, 1, F, T]``
     complex, ``est_snr`` is ``[B]``. Returns the enhanced compressed spec
@@ -66,7 +66,9 @@ def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
         sampler = get_pc_sampler(
             predictor, corrector, sde=sde, score_fn=score_fn, Y=Y,
             denoise=True, eps=cfg.t_eps, snr=SNR_ALD if snr is None else snr,
-            corrector_steps=CORRECTOR_STEPS, timestep_type=timestep_type,
+            corrector_steps=(CORRECTOR_STEPS if corrector_steps is None
+                             else corrector_steps),
+            timestep_type=timestep_type,
         )
         sample, _ = sampler(key)
     elif branch == "sebridge":
@@ -107,16 +109,21 @@ def spec_sample(model: ScoreModel, variables, branch: str, X, Y, key,
 
 
 def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
-             fixed_snr: Optional[float] = None):
+             fixed_snr: Optional[float] = None,
+             sampler_kwargs: Optional[dict] = None):
     """Jitted eval-time enhancement for one branch/width bucket
-    (inference.py:152-312)."""
+    (inference.py:152-312). ``sampler_kwargs`` (bbed only): predictor/
+    corrector/N/snr/corrector_steps/timestep_type overrides of the
+    reference sampler config — e.g. the certified NFE-reduction serving
+    config (SAMPLER_QUALITY.json)."""
     cfg = model.cfg
     fixed_snr = cfg.fixed_snr if fixed_snr is None else fixed_snr
+    sk = dict(sampler_kwargs or {})
     # Cache on the model itself (like ScoreModel._enhance_cache): the jitted
     # closures capture `model`, so a module-global cache would pin every
     # served model (and its compiled programs) for the process lifetime.
     cache = model.__dict__.setdefault("_eval_jit_cache", {})
-    key_ = (branch, t_pad, fixed_snr)
+    key_ = (branch, t_pad, fixed_snr, tuple(sorted(sk.items())))
     if key_ in cache:
         return cache[key_]
 
@@ -149,7 +156,7 @@ def _eval_fn(model: ScoreModel, branch: str, t_pad: int,
             noise_size = jnp.max(jnp.abs(X - Y), axis=(1, 2, 3), keepdims=True)
 
         sample = spec_sample(model, variables, branch, X, Y, key, est_snr,
-                             fixed_snr, noise_size=noise_size)
+                             fixed_snr, noise_size=noise_size, **sk)
 
         x_hat = model.to_audio(sample[:, 0]) * norm_factor
         return x_hat

@@ -50,6 +50,7 @@ def enhance_streamed(
     est_snr: float = 1.0,
     fixed_snr: Optional[float] = None,
     trim_frames: int = 0,
+    sampler_kwargs: Optional[dict] = None,
 ) -> np.ndarray:
     """Enhance one utterance of any length via overlapped fixed-width chunks.
 
@@ -94,7 +95,8 @@ def enhance_streamed(
         yb[i, : len(seg)] = seg
         xb[i, : len(xseg)] = xseg
 
-    fn = _eval_fn(model, model_type, chunk_frames, fixed_snr=fixed_snr)
+    fn = _eval_fn(model, model_type, chunk_frames, fixed_snr=fixed_snr,
+                  sampler_kwargs=sampler_kwargs)
     est = jnp.full((len(starts),), est_snr, dtype=jnp.float32)
     out_chunks = np.asarray(
         fn(variables, jnp.asarray(xb), jnp.asarray(yb), key, est)

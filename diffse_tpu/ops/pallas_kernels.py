@@ -364,8 +364,10 @@ def _gn_silu_conv3x3_small_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref,
 
     v = x_ref[:].astype(jnp.float32) * a_ref[:] + b_ref[:]
     act = v * jax.nn.sigmoid(v)
-    if compute_dtype is not None:
-        act = act.astype(compute_dtype)
+    # NOTE: act stays f32 through the roll/mask — Mosaic's rotate only
+    # supports 32-bit data ("Rotate with non-32-bit data" compile error on
+    # bf16, measured on v5e); the per-tap cast below commutes bit-exactly
+    # with roll+mask (bf16(0) == 0), so numerics are unchanged.
 
     # Row r = b*H*W + hh*W + ww. Destination validity of tap (dy, dx) only
     # depends on (hh, ww); a row whose source crosses an image edge is
@@ -390,6 +392,8 @@ def _gn_silu_conv3x3_small_kernel(x_ref, a_ref, b_ref, w_ref, bias_ref,
                 (hh + dy >= 0) & (hh + dy < h) & (ww + dx >= 0) & (ww + dx < wdt)
             )
             tap = jnp.where(valid, src, jnp.zeros_like(src))
+            if compute_dtype is not None:
+                tap = tap.astype(compute_dtype)
             acc = acc + jnp.dot(
                 tap, w_ref[(dy + 1) * 3 + (dx + 1)],
                 preferred_element_type=jnp.float32,

@@ -40,6 +40,12 @@ def main():
     unroll = int(extra_kwargs.pop("unroll", 1))
     pipes = int(extra_kwargs.pop("pipes", 5))
     peel = extra_kwargs.pop("peel", True)
+    # fetch=1: time a full host fetch of the output instead of trusting
+    # block_until_ready, and print the output norm. Needed for programs
+    # containing pallas custom-calls: the axon bridge's block_until_ready
+    # returns immediately for them (measured 0.3 ms "wall" on a 60-NFE
+    # program), so only a value round-trip gives a true sync point.
+    fetch = int(extra_kwargs.pop("fetch", 0))
     # copt:<flag>=<value> args become per-compile XLA compiler_options —
     # the axon terminal forwards proto-backed xla_* flags per compile even
     # though env XLA_FLAGS are rejected client-side.
@@ -117,6 +123,24 @@ def main():
         print(f"[probe] cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
     print(f"[probe] compile+first: {compile_s:.1f}s", file=sys.stderr, flush=True)
 
+    fetch_extra = {}
+    if fetch:
+        # warm fetch (host round-trip path initialization), then timed
+        v = np.asarray(fn(y_wav, jax.random.PRNGKey(200)))
+        ft = []
+        for i in range(3):
+            t0 = time.time()
+            v = np.asarray(fn(y_wav, jax.random.PRNGKey(201 + i)))
+            ft.append(time.time() - t0)
+        fetch_extra = {
+            "wall_s_fetch": round(min(ft), 4),
+            "out_norm": float(np.linalg.norm(v)),
+            "out_finite": bool(np.all(np.isfinite(v))),
+        }
+        print(f"[probe] fetch wall {min(ft):.4f}s norm "
+              f"{fetch_extra['out_norm']:.4f} finite "
+              f"{fetch_extra['out_finite']}", file=sys.stderr, flush=True)
+
     times = []
     for i in range(3):
         t0 = time.time()
@@ -152,6 +176,7 @@ def main():
         "rtf_x_pipelined": round(audio_seconds / wall_p, 3) if wall_p else None,
         "compile_s": round(compile_s, 1),
         "utt_per_s": round(batch / best, 3),
+        **fetch_extra,
     }), flush=True)
 
 

@@ -108,6 +108,13 @@ def add_trainer_args(group):
                             "many consecutive loader batches per optimizer "
                             "step (effective batch = accum_steps*batch_size "
                             "in one batch's HBM footprint)")
+    group.add_argument("--chain_steps", type=int, default=1,
+                       help="Fuse this many consecutive optimizer updates "
+                            "into ONE dispatched XLA program (lax.scan over "
+                            "the train state) — amortizes per-dispatch "
+                            "latency when it dominates step compute (remote/"
+                            "bridged accelerators); training semantics "
+                            "unchanged")
     group.add_argument("--eval_every_n_epochs", type=int, default=1,
                        help="Validate/checkpoint every k-th epoch (always "
                             "the last) — Lightning's check_val_every_n_epoch "
@@ -216,6 +223,7 @@ def main(argv=None):
         tp_size=args.tp_size,
         eval_batch_size=args.eval_batch_size,
         accum_steps=args.accum_steps,
+        chain_steps=args.chain_steps,
         eval_every_n_epochs=args.eval_every_n_epochs,
     )
 

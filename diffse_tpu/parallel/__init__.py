@@ -2,6 +2,7 @@ from .mesh import (
     make_mesh,
     batch_sharding,
     microbatch_sharding,
+    stacked_batch_sharding,
     replicated_sharding,
     shard_batch,
     replicate,
@@ -27,6 +28,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "microbatch_sharding",
+    "stacked_batch_sharding",
     "replicated_sharding",
     "shard_batch",
     "replicate",

@@ -42,6 +42,15 @@ def microbatch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh, lead_axes: int,
+                           axis_name: str = "data") -> NamedSharding:
+    """Shard axis ``lead_axes`` over the mesh — the general form of
+    batch_sharding (lead_axes=0) / microbatch_sharding (lead_axes=1) for
+    batches stacked with any number of leading scan axes (chained dispatch
+    and/or gradient accumulation)."""
+    return NamedSharding(mesh, P(*((None,) * lead_axes + (axis_name,))))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -23,7 +23,7 @@ import optax
 
 from ..evaluation.deep_inference import SNR_GRID, deep_evaluate_model
 from ..evaluation.inference import evaluate_model
-from ..parallel import make_mesh, microbatch_sharding, replicate, shard_batch
+from ..parallel import make_mesh, replicate, shard_batch, stacked_batch_sharding
 from .checkpoints import CheckpointManager
 from .logging import MetricsLogger
 from .state import create_train_state, eval_variables
@@ -146,6 +146,7 @@ def train_score_model(
     eval_batch_size: int = 1,
     accum_steps: int = 1,
     eval_every_n_epochs: int = 1,
+    chain_steps: int = 1,
 ):
     """Train a ScoreModel; returns the final TrainState.
 
@@ -162,6 +163,11 @@ def train_score_model(
     trainer's `check_val_every_n_epoch` the reference drives its loop
     with; epochs over small datasets are seconds of compute while each
     checkpoint save is a full state fetch, so long runs set k > 1.
+    `chain_steps` > 1 fuses that many consecutive optimizer updates into
+    one dispatched program (train/steps.py chain scan) — the wall-time
+    lever when per-dispatch latency dominates step compute (the axon
+    bridge). `max_steps_per_epoch` and `log_every_n_steps` then count
+    dispatches (each = `chain_steps` updates).
     """
     cfg = model.cfg
     logger = logger or MetricsLogger()
@@ -185,6 +191,7 @@ def train_score_model(
         model, optimizer, ema_decay=cfg.ema_decay, mesh=mesh,
         preprocess=model.prepare_batch, donate=True,
         state_sharding=state_sharding, accum_steps=accum_steps,
+        chain_steps=chain_steps,
     )
     valid_step = make_eval_step(model, preprocess=model.prepare_batch)
 
@@ -235,6 +242,9 @@ def train_score_model(
         loader = data_module.train_dataloader()
         if accum_steps > 1:
             loader = _stack_groups(loader, accum_steps)
+        if chain_steps > 1:
+            loader = _stack_groups(loader, chain_steps)
+        lead_axes = int(chain_steps > 1) + int(accum_steps > 1)
         for i, batch in enumerate(loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -243,7 +253,8 @@ def train_score_model(
             if mesh is not None:
                 jbatch = shard_batch(
                     mesh, jbatch,
-                    spec=None if accum_steps <= 1 else microbatch_sharding(mesh),
+                    spec=None if lead_axes == 0
+                    else stacked_batch_sharding(mesh, lead_axes),
                 )
             state, metrics = train_step(state, jbatch, step_key)
             if guard.triggered:

@@ -391,6 +391,81 @@ def test_accum_step_data_parallel_matches_single_device():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_chained_step_matches_sequential():
+    """chain_steps=k: one dispatched program doing k FULL optimizer updates
+    (lax.scan over the TrainState) equals k sequential single-step dispatches
+    with the same per-update keys — a pure dispatch-amortization transform."""
+    model, opt, state = _model_and_state()
+    k = 3
+    batches = [_batch(jax.random.PRNGKey(10 + i), b=2) for i in range(k)]
+    chained_batch = tuple(
+        jnp.stack([b[i] for b in batches]) for i in range(len(batches[0]))
+    )
+
+    step_chain = make_train_step(model, opt, ema_decay=0.999, donate=False,
+                                 chain_steps=k)
+    s_chain, m_chain = step_chain(state, chained_batch, jax.random.PRNGKey(2))
+    assert int(s_chain.step) == k
+
+    step_single = make_train_step(model, opt, ema_decay=0.999, donate=False)
+    keys = jax.random.split(jax.random.PRNGKey(2), k)
+    s_seq = state
+    for i in range(k):
+        s_seq, m_seq = step_single(s_seq, batches[i], keys[i])
+    assert int(s_seq.step) == k
+
+    # "train_loss" is the LAST update's loss
+    np.testing.assert_allclose(float(m_chain["train_loss"]),
+                               float(m_seq["train_loss"]), rtol=1e-5)
+    for label, tree_c, tree_s in [
+        ("params", s_chain.variables["params"], s_seq.variables["params"]),
+        ("ema", s_chain.ema_params, s_seq.ema_params),
+    ]:
+        for a, e in zip(jax.tree_util.tree_leaves(tree_c),
+                        jax.tree_util.tree_leaves(tree_s)):
+            # scan vs unrolled reassociates float ops; near-zero params see
+            # ~1e-7 absolute wiggle after an Adam step
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-5, atol=1e-6, err_msg=label)
+
+
+@pytest.mark.slow
+def test_chained_step_composes_with_accum_and_mesh():
+    """chain=2 x accum=2 over the 8-device data mesh: batch axes are
+    (chain, accum, b, ...) with the data axis sharded at axis 2 — equals the
+    same program on a single device."""
+    from diffse_tpu.parallel import stacked_batch_sharding
+
+    assert len(jax.devices()) == 8
+    model, opt, state = _model_and_state()
+    micro = [_batch(jax.random.PRNGKey(20 + i), b=8) for i in range(4)]
+    # (chain=2, accum=2, b=8, ...)
+    nested = tuple(
+        jnp.stack([jnp.stack([micro[0][i], micro[1][i]]),
+                   jnp.stack([micro[2][i], micro[3][i]])])
+        for i in range(len(micro[0]))
+    )
+
+    step_single = make_train_step(model, opt, donate=False,
+                                  accum_steps=2, chain_steps=2)
+    s1, m1 = step_single(state, nested, jax.random.PRNGKey(2))
+    assert int(s1.step) == 2  # two optimizer updates, each 2-microbatch
+
+    mesh = make_mesh()
+    step_dp = make_train_step(model, opt, mesh=mesh, donate=False,
+                              accum_steps=2, chain_steps=2)
+    state_dp = replicate(mesh, state)
+    batch_dp = shard_batch(mesh, nested, spec=stacked_batch_sharding(mesh, 2))
+    s2, m2 = step_dp(state_dp, batch_dp, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m1["train_loss"]),
+                               float(m2["train_loss"]), rtol=1e-4)
+    p1 = jax.tree_util.tree_leaves(s1.variables["params"])[0]
+    p2 = jax.tree_util.tree_leaves(s2.variables["params"])[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_stack_groups_drops_ragged_tail():
     from diffse_tpu.train.loop import _stack_groups
 

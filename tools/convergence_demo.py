@@ -65,6 +65,11 @@ def main(argv=None):
                         help="validate/checkpoint every k-th epoch (long "
                              "runs over small datasets: epochs are seconds, "
                              "saves are full state fetches)")
+    parser.add_argument("--chain_steps", type=int, default=1,
+                        help="optimizer updates fused per dispatch (wall-time "
+                             "lever on the bridge; steps_per_epoch counts "
+                             "dispatches, so updates/epoch = "
+                             "steps_per_epoch * chain_steps)")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the latest checkpoint in "
                              "<work_dir>/ckpts (long TPU runs surviving a "
@@ -184,6 +189,7 @@ def main(argv=None):
         use_mesh=False, max_steps_per_epoch=args.steps_per_epoch,
         variables=variables0, resume=args.resume,
         eval_every_n_epochs=args.eval_every,
+        chain_steps=args.chain_steps,
     )
     ev = eval_variables(state)
     vl1 = valid_loss(ev)

@@ -584,6 +584,20 @@ CERT_CANDIDATES = {
     "rd_ald2_logit_N10": dict(
         predictor="reverse_diffusion", corrector="ald", N=10,
         timestep_type="logit", nfe=30, corrector_steps=2),
+    # sub-30-NFE candidates (round-4 session-2 sweep targets on the
+    # larger-data checkpoint)
+    "rd_ald_logit_N10": dict(
+        predictor="reverse_diffusion", corrector="ald", N=10,
+        timestep_type="logit", nfe=20),
+    "rd_ald2_logit_N8": dict(
+        predictor="reverse_diffusion", corrector="ald", N=8,
+        timestep_type="logit", nfe=24, corrector_steps=2),
+    "rd_ald2_logit_N7": dict(
+        predictor="reverse_diffusion", corrector="ald", N=7,
+        timestep_type="logit", nfe=21, corrector_steps=2),
+    "rd_ald2_logit_N6": dict(
+        predictor="reverse_diffusion", corrector="ald", N=6,
+        timestep_type="logit", nfe=18, corrector_steps=2),
 }
 
 

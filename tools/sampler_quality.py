@@ -53,6 +53,13 @@ def main(argv=None):
                              "--eval_dir=<data>/test; suffixed rows coexist "
                              "with the selection rows in --out_json and are "
                              "ignored by bench.py's candidate table)")
+    parser.add_argument("--holdout_dir", type=str, default=None,
+                        help="also score this clean/noisy pair dir with "
+                             "'_holdout'-suffixed labels IN THE SAME PROCESS "
+                             "(reuses every compiled sampler program — one "
+                             "TPU compile per config instead of two separate "
+                             "CLI runs)")
+    parser.add_argument("--num_holdout_files", type=int, default=4)
     args = parser.parse_args(argv)
 
     import jax
@@ -123,6 +130,16 @@ def main(argv=None):
           "logit", snr=1.0),
         C("rd_ald2_logit_N10", "reverse_diffusion", "ald", 10, 30, "logit",
           csteps=2),
+        # sub-30-NFE candidates: viable once the score net is accurate
+        # enough (larger-data checkpoints) — the corrector budget is what
+        # tolerates score error at few predictor steps (DEVNOTES round 4)
+        C("rd_ald_logit_N10", "reverse_diffusion", "ald", 10, 20, "logit"),
+        C("rd_ald2_logit_N8", "reverse_diffusion", "ald", 8, 24, "logit",
+          csteps=2),
+        C("rd_ald2_logit_N7", "reverse_diffusion", "ald", 7, 21, "logit",
+          csteps=2),
+        C("rd_ald2_logit_N6", "reverse_diffusion", "ald", 6, 18, "logit",
+          csteps=2),
     ]
     if args.configs:
         want = set(args.configs.split(","))
@@ -144,46 +161,60 @@ def main(argv=None):
     def add(name, vals):
         rows.setdefault(name, []).append(vals)
 
-    for i, cf in enumerate(clean_files):
-        nfle = cf.replace("/clean/", "/noisy/")
-        x, _ = read_wav(cf)
-        y, _ = read_wav(nfle)
-        x1, y1 = x[0], y[0]
-        k = jax.random.fold_in(key, i)
-        add("mixture" + args.label_suffix, score(x1, y1))
-        for c in configs:
-            x_hat = model.enhance(
-                variables, jnp.asarray(x), jnp.asarray(y), key=k,
-                sampler_type="pc", predictor=c["predictor"],
-                corrector=c["corrector"],
-                corrector_steps=c["corrector_steps"], N=c["N"],
-                snr=c["snr"], oracle=False,
-                clean_rms=1, noise_rms=1, timestep_type=c["grid"],
-            )
-            add(c["label"] + args.label_suffix, score(x1, np.asarray(x_hat)))
-        print(f"[sampq] file {i + 1}/{len(clean_files)} done", flush=True)
+    def run_set(files, sfx):
+        for i, cf in enumerate(files):
+            nfle = cf.replace("/clean/", "/noisy/")
+            x, _ = read_wav(cf)
+            y, _ = read_wav(nfle)
+            x1, y1 = x[0], y[0]
+            k = jax.random.fold_in(key, i)
+            add("mixture" + sfx, score(x1, y1))
+            for c in configs:
+                x_hat = model.enhance(
+                    variables, jnp.asarray(x), jnp.asarray(y), key=k,
+                    sampler_type="pc", predictor=c["predictor"],
+                    corrector=c["corrector"],
+                    corrector_steps=c["corrector_steps"], N=c["N"],
+                    snr=c["snr"], oracle=False,
+                    clean_rms=1, noise_rms=1, timestep_type=c["grid"],
+                )
+                add(c["label"] + sfx, score(x1, np.asarray(x_hat)))
+            print(f"[sampq]{sfx} file {i + 1}/{len(files)} done", flush=True)
+
+    suffixes = [args.label_suffix]
+    run_set(clean_files, args.label_suffix)
+    if args.holdout_dir:
+        holdout_files = sorted(
+            os.path.join(args.holdout_dir, "clean", f)
+            for f in os.listdir(os.path.join(args.holdout_dir, "clean"))
+        )[: args.num_holdout_files]
+        run_set(holdout_files, "_holdout")
+        suffixes.append("_holdout")
 
     def mean(name, j):
         v = [r[j] for r in rows.get(name, []) if np.isfinite(r[j])]
         return float(np.mean(v)) if v else float("nan")
 
-    sfx = args.label_suffix
-    ref_label = "rd_ald_N30" + sfx
-    ref_p, ref_s = mean(ref_label, 0), mean(ref_label, 1)
-    print(f"\n{'config':<12} {'nfe':>4} {'pesq':>7} {'si_sdr':>8} {'estoi':>7} "
-          f"{'dPESQ':>7} {'dSISDR':>8}")
     results = {}
-    nfe_of = {c["label"] + sfx: c["nfe"] for c in configs}
-    for name in rows:
-        p, s, e = mean(name, 0), mean(name, 1), mean(name, 2)
-        dp = p - ref_p if name != "mixture" + sfx else 0.0
-        ds = s - ref_s if name != "mixture" + sfx else 0.0
-        nfe = nfe_of.get(name, 0)
-        results[name] = dict(nfe=nfe, pesq=round(p, 3), si_sdr=round(s, 2),
-                             estoi=round(e, 3), d_pesq=round(dp, 3),
-                             d_si_sdr=round(ds, 2), ref=ref_label)
-        print(f"{name:<12} {nfe:>4} {p:>7.3f} {s:>8.2f} {e:>7.3f} "
-              f"{dp:>7.3f} {ds:>8.2f}")
+    for sfx in suffixes:
+        ref_label = "rd_ald_N30" + sfx
+        ref_p, ref_s = mean(ref_label, 0), mean(ref_label, 1)
+        print(f"\n{'config':<12} {'nfe':>4} {'pesq':>7} {'si_sdr':>8} "
+              f"{'estoi':>7} {'dPESQ':>7} {'dSISDR':>8}")
+        nfe_of = {c["label"] + sfx: c["nfe"] for c in configs}
+        names = [n for n in rows
+                 if (n.endswith("_holdout") if sfx == "_holdout"
+                     else not n.endswith("_holdout"))]
+        for name in names:
+            p, s, e = mean(name, 0), mean(name, 1), mean(name, 2)
+            dp = p - ref_p if name != "mixture" + sfx else 0.0
+            ds = s - ref_s if name != "mixture" + sfx else 0.0
+            nfe = nfe_of.get(name, 0)
+            results[name] = dict(nfe=nfe, pesq=round(p, 3), si_sdr=round(s, 2),
+                                 estoi=round(e, 3), d_pesq=round(dp, 3),
+                                 d_si_sdr=round(ds, 2), ref=ref_label)
+            print(f"{name:<12} {nfe:>4} {p:>7.3f} {s:>8.2f} {e:>7.3f} "
+                  f"{dp:>7.3f} {ds:>8.2f}")
 
     print("\nRESULT " + json.dumps(results))
     if args.out_json:

@@ -33,6 +33,7 @@ def test_train_cli_smoke(dataset, tmp_path):
         "--batch_size", "2", "--num_frames", "32", "--num_workers", "1",
         "--max_epochs", "1", "--max_steps_per_epoch", "1", "--num_eval_files", "0",
         "--ckpt_dir", ckpt_dir, "--no_mesh", "--seed", "0",
+        "--chain_steps", "2",  # 1 dispatch = 2 fused optimizer updates
         *TINY_ARGS,
     ])
     assert os.path.exists(os.path.join(ckpt_dir, "hparams.json"))

@@ -60,6 +60,11 @@ def main(argv=None):
                              "TPU compile per config instead of two separate "
                              "CLI runs)")
     parser.add_argument("--num_holdout_files", type=int, default=4)
+    parser.add_argument("--monitor", type=str, default=None,
+                        help="pick the checkpoint by this metric (e.g. "
+                             "'pesq' = the training loop's top-k selection "
+                             "criterion, train/checkpoints.py) instead of "
+                             "the latest step")
     args = parser.parse_args(argv)
 
     import jax
@@ -79,7 +84,7 @@ def main(argv=None):
     from diffse_tpu.train.state import eval_variables
 
     ckpt_dir = os.path.join(args.work_dir, "ckpts")
-    model, state = load_score_model(ckpt_dir)
+    model, state = load_score_model(ckpt_dir, monitor=args.monitor)
     variables = eval_variables(state)
     if args.platform != "cpu":
         # one explicit host->device shipment; per-call implicit transfers of

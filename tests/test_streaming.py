@@ -38,7 +38,7 @@ def test_ola_reconstruction_with_identity_enhancement(rng, monkeypatch):
     overlap-add must reconstruct the input exactly."""
     model, variables = _model()
 
-    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None):
+    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None, sampler_kwargs=None):
         def fn(variables_, xb, yb, key, est):
             return yb
         return fn
@@ -58,7 +58,7 @@ def test_lone_chunk_with_trim_keeps_tail(rng, monkeypatch):
     wsum=0 region, emitting silence)."""
     model, variables = _model()
 
-    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None):
+    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None, sampler_kwargs=None):
         def fn(variables_, xb, yb, key, est):
             return yb
         return fn
@@ -157,7 +157,7 @@ def test_ola_reconstruction_with_trim(rng, monkeypatch):
     (the kept regions overlap and cross-fades stay complementary)."""
     model, variables = _model()
 
-    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None):
+    def fake_eval_fn(model_, branch, t_pad, fixed_snr=None, sampler_kwargs=None):
         def fn(variables_, xb, yb, key, est):
             return yb
         return fn

@@ -236,6 +236,7 @@ def train_score_model(
         return state
 
     guard = _PreemptionGuard()
+    _warned_empty_epoch = False
     with guard:
       for epoch in range(start_epoch, max_epochs):
         # ---- train epoch
@@ -245,9 +246,11 @@ def train_score_model(
         if chain_steps > 1:
             loader = _stack_groups(loader, chain_steps)
         lead_axes = int(chain_steps > 1) + int(accum_steps > 1)
+        stepped = False
         for i, batch in enumerate(loader):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
+            stepped = True
             key, step_key = jax.random.split(key)
             jbatch = tuple(jnp.asarray(b) for b in batch)
             if mesh is not None:
@@ -260,8 +263,23 @@ def train_score_model(
             if guard.triggered:
                 return _preempt_exit(epoch)
             if i % log_every_n_steps == 0:
-                logger.log({"epoch": epoch, "train_loss": metrics["train_loss"]},
-                           step=int(state.step))
+                rec = {"epoch": epoch, "train_loss": metrics["train_loss"]}
+                if "train_loss_mean" in metrics:
+                    # chained dispatch: "train_loss" samples only the LAST of
+                    # chain_steps updates; also log the mean over the chain.
+                    rec["train_loss_mean"] = metrics["train_loss_mean"]
+                logger.log(rec, step=int(state.step))
+        if not stepped and not _warned_empty_epoch:
+            # _stack_groups drops ragged tails: an epoch with fewer than
+            # accum_steps*chain_steps batches trains ZERO steps but would
+            # still validate and checkpoint below.
+            _warned_empty_epoch = True
+            print(
+                f"warning: epoch {epoch} produced no training steps — the "
+                f"dataset yields fewer than accum_steps*chain_steps "
+                f"(= {accum_steps * chain_steps}) batches per epoch; lower "
+                "--accum_steps/--chain_steps or add data"
+            )
         if guard.triggered:  # SIGTERM landed while fetching/stacking batches
             return _preempt_exit(epoch)
 

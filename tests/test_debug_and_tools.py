@@ -144,3 +144,13 @@ def test_bench_certified_config_selection(tmp_path):
     label3, _, cert3 = bench._load_certified_config(write(rows3))
     assert label3 == "rd_ald2_logit_N10"
     assert cert3["holdout_validation"]["d_pesq"] == -0.01
+
+
+def test_sampler_quality_rejects_holdout_suffix_with_holdout_dir():
+    """--label_suffix '_holdout' together with --holdout_dir would label the
+    selection and holdout rows identically, silently merging their scores."""
+    from tools import sampler_quality
+
+    with pytest.raises(SystemExit):
+        sampler_quality.main(["--label_suffix", "_holdout",
+                              "--holdout_dir", "/nonexistent"])

@@ -742,3 +742,45 @@ def test_tensor_parallel_step_full_flagship_tree():
             assert shard_shape[-1] * 2 == leaf.shape[-1], (path, shard_shape)
             checked += 1
     assert checked > 50
+
+
+def test_empty_epoch_warns_once(capsys):
+    """_stack_groups drops ragged tails: an epoch with fewer batches than
+    chain_steps trains zero steps — the loop must warn (once) instead of
+    silently validating and checkpointing an untrained epoch."""
+    from diffse_tpu.train.loop import train_score_model
+
+    cfg = ScoreModelConfig(
+        backbone="ncsnpp", sde="bbed", snr_conditioned="false",
+        model_type="sebridge_v2", sigma_max=1.0, num_eval_files=0,
+        n_fft=30, hop_length=8, num_frames=16,
+    )
+    model = ScoreModel(cfg, backbone_kwargs=TINY_BACKBONE,
+                       sde_kwargs=dict(T_sampling=0.999, k=2.6, theta=0.52,
+                                       N=30))
+    wav_len = (cfg.num_frames - 1) * cfg.hop_length
+    rng = np.random.default_rng(0)
+
+    class _TinyDM:
+        class cfg:
+            batch_size = 2
+
+        def setup(self, stage):
+            pass
+
+        def train_dataloader(self):
+            def gen():
+                x = rng.standard_normal((2, wav_len)).astype(np.float32)
+                y = (x + 0.3 * rng.standard_normal((2, wav_len))).astype(
+                    np.float32)
+                yield (x, y)  # 1 batch < chain_steps=4 -> zero stacked groups
+            return gen()
+
+        def val_dataloader(self):
+            return []
+
+    state = train_score_model(model, _TinyDM(), max_epochs=2, use_mesh=False,
+                              seed=0, chain_steps=4)
+    assert int(state.step) == 0
+    out = capsys.readouterr().out
+    assert out.count("produced no training steps") == 1

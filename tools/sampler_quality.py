@@ -66,6 +66,13 @@ def main(argv=None):
                              "criterion, train/checkpoints.py) instead of "
                              "the latest step")
     args = parser.parse_args(argv)
+    if args.holdout_dir and args.label_suffix == "_holdout":
+        # --holdout_dir already emits '_holdout'-suffixed rows; suffixing the
+        # main set the same way would silently merge selection and holdout
+        # scores under identical labels.
+        parser.error("--label_suffix '_holdout' conflicts with --holdout_dir "
+                     "(the holdout rows use that suffix); pick another suffix "
+                     "or drop one of the flags")
 
     import jax
 

@@ -83,6 +83,26 @@ class SDE(abc.ABC):
         ``score_fn(x, t, y) -> score`` (sgmse/sdes.py:93-142)."""
         return ReverseSDE(fwd=self, score_fn=score_fn, probability_flow=probability_flow)
 
+    # -- exponential-integrator support (beyond reference) ------------------
+    #
+    # Every SDE in this family has an affine perturbation kernel
+    #     p_t(x | x0, y) = N( alpha(t) x0 + beta(t) y,  std(t)² )
+    # so its probability flow transports Gaussian quantiles exactly:
+    #     x(t2) = m(t2) + (std(t2)/std(t1)) (x(t1) - m(t1)).
+    # The exponential predictors (sampling/predictors.py exp_euler/exp_heun)
+    # exploit this in data-prediction parameterization (the DDIM/DPM-Solver
+    # structure): Tweedie-estimate m(t1) = x + std² score, invert the mean
+    # coefficients for x̂0, and take the closed-form flow step — both the
+    # bridge-drift singularity (alpha -> 0 at t -> Tc) and the score
+    # singularity (1/std at std -> 0) are absorbed analytically; only the
+    # x̂0 estimate is approximated. Subclasses provide:
+
+    def mean_coeffs(self, t):
+        """(alpha(t), beta(t)) with marginal mean = alpha x0 + beta y."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not define mean_coeffs for the "
+            "exponential integrators")
+
     def replace(self, **kwargs) -> "SDE":
         return dataclasses.replace(self, **kwargs)
 
@@ -188,6 +208,10 @@ class OUVESDE(SDE):
     def marginal_prob(self, x0, t, y):
         return self._mean(x0, t, y), self._std(t)
 
+    def mean_coeffs(self, t):
+        alpha = jnp.exp(-self.theta * t)
+        return alpha, 1.0 - alpha
+
     @staticmethod
     def add_argparse_args(parser):
         parser.add_argument("--sde-n", dest="N", type=int, default=1000,
@@ -247,6 +271,13 @@ class BBED(SDE):
 
     def marginal_prob(self, x0, t, y):
         return self._mean(x0, t, y), self._std(t)
+
+    # linear bridge mean x0 (1 - t/Tc) + y t/Tc; alpha -> 0 at t -> Tc is the
+    # ~1/(1-t) stiffness that breaks explicit integrators (DEVNOTES round 4) —
+    # the exponential predictors absorb it in closed form.
+    def mean_coeffs(self, t):
+        beta = t / self.Tc
+        return 1.0 - beta, beta
 
     @staticmethod
     def add_argparse_args(parser):
@@ -313,6 +344,11 @@ class PROPOSED_1(SDE):
 
     def marginal_prob(self, x0, t, y):
         return self._mean(x0, t, y), self._std(t)
+
+    # same linear bridge mean as BBED
+    def mean_coeffs(self, t):
+        beta = t / self.Tc
+        return 1.0 - beta, beta
 
     @staticmethod
     def add_argparse_args(parser):

@@ -554,3 +554,162 @@ def test_pc_sampler_alt_grid_recovers_x0(grid):
         sample, _ = jax.jit(sampler)(jax.random.PRNGKey(1))
         rel = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
         assert rel < 0.2, f"{pred}/{grid} missed x0: rel={rel}"
+
+
+def test_exp_predictors_exact_on_affine_score():
+    """With the exact point-mass score the data-prediction step equals the
+    closed-form Gaussian probability flow at ANY stepsize: ONE step across
+    the whole [T, eps] range lands exactly (up to f32) on the analytic
+    solution — the property that absorbs both the bridge-drift and the
+    1/std score singularities."""
+    from diffse_tpu.sampling.predictors import PredictorRegistry
+
+    key = jax.random.PRNGKey(3)
+    x0, y = _make_problem(key, shape=(2, 1, 8, 8))
+    for sde in (BBED(N=30), OUVESDE(N=30)):
+        score = _true_score(sde, x0)
+        T, eps = sde.T, 0.03
+        B = x0.shape[0]
+        vec = lambda t: jnp.full((B,), t, jnp.float32)
+        mT, sT = sde.marginal_prob(x0, vec(T), y)
+        me, se = sde.marginal_prob(x0, vec(eps), y)
+        z = (jax.random.normal(jax.random.PRNGKey(7), x0.shape)
+             + 1j * jax.random.normal(jax.random.PRNGKey(8), x0.shape)
+             ).astype(jnp.complex64)
+        x_T = mT + sT[:, None, None, None] * z
+        x_exact = me + (se / sT)[:, None, None, None] * (x_T - mT)
+        for name in ("exp_euler", "exp_heun"):
+            pred = PredictorRegistry.get_by_name(name)(sde, score)
+            out, _ = pred.update_fn(jax.random.PRNGKey(0), x_T, vec(T), y,
+                                    T - eps)
+            err = float(jnp.linalg.norm(out - x_exact)
+                        / jnp.linalg.norm(x_exact))
+            assert err < 1e-3, (
+                f"{name} on {type(sde).__name__} not exact: rel={err}")
+
+
+def _mixture_score(sde, x0a, x0b):
+    """Closed-form score of a two-point-mass prior: p_t is a Gaussian
+    mixture, non-affine in x — so one step is NOT exact and integration
+    order becomes measurable."""
+
+    def score(x, t, y):
+        std = sde._std(t)[:, None, None, None]
+        s2 = (std ** 2).astype(x.dtype)
+        ma, _ = sde.marginal_prob(x0a, t, y)
+        mb, _ = sde.marginal_prob(x0b, t, y)
+        da, db = x - ma, x - mb
+        la = -jnp.sum(jnp.abs(da) ** 2, axis=(1, 2, 3), keepdims=True) / (
+            2.0 * jnp.real(s2))
+        lb = -jnp.sum(jnp.abs(db) ** 2, axis=(1, 2, 3), keepdims=True) / (
+            2.0 * jnp.real(s2))
+        m = jnp.maximum(la, lb)
+        wa = jnp.exp(la - m)
+        wb = jnp.exp(lb - m)
+        ga = (wa / (wa + wb)).astype(x.dtype)
+        return -(ga * da + (1.0 - ga) * db) / s2
+
+    return score
+
+
+def test_exp_heun_second_order_exp_euler_first_order():
+    """On a non-affine (two-component mixture) score, exp_heun converges
+    ~O(h^2) and exp_euler ~O(h) toward the adaptive-RK45 reference solution
+    of the same probability-flow ODE, and exp_heun wins at matched NFE."""
+    from diffse_tpu.sampling.predictors import PredictorRegistry
+
+    key = jax.random.PRNGKey(3)
+    x0a, y = _make_problem(key, shape=(2, 1, 8, 8))
+    # component separation ~ std(t) so the responsibilities actually mix
+    # along the trajectory (far-apart components saturate to one Gaussian,
+    # making the score affine again — and the step exact)
+    d = (jax.random.normal(jax.random.PRNGKey(21), x0a.shape)
+         + 1j * jax.random.normal(jax.random.PRNGKey(22), x0a.shape)
+         ).astype(jnp.complex64)
+    x0b = x0a + 0.4 * d / jnp.linalg.norm(d)
+    sde = OUVESDE(N=30)
+    score = _mixture_score(sde, x0a, x0b)
+    eheun = PredictorRegistry.get_by_name("exp_heun")(sde, score)
+    eeuler = PredictorRegistry.get_by_name("exp_euler")(sde, score)
+    rsde = sde.reverse(score, probability_flow=True)
+
+    T, eps = sde.T, 0.1
+    B = x0a.shape[0]
+    vec = lambda t: jnp.full((B,), t, jnp.float32)
+    mT, sT = sde.marginal_prob(x0a, vec(T), y)
+    z = (jax.random.normal(jax.random.PRNGKey(7), x0a.shape)
+         + 1j * jax.random.normal(jax.random.PRNGKey(8), x0a.shape)
+         ).astype(jnp.complex64)
+    x_T = mT + sT[:, None, None, None] * z
+
+    def ode_func(t, x):
+        return rsde.sde(x, vec(float(t)) if not hasattr(t, "shape") else
+                        jnp.full((B,), t, jnp.float32), y)[0]
+
+    ref = solve_ivp_rk45(ode_func, (T, eps), x_T, rtol=1e-9, atol=1e-10).y
+
+    def run(pred, n):
+        ts = np.linspace(T, eps, n + 1)
+        x = x_T
+        for i in range(n):
+            x = pred.update_fn(jax.random.PRNGKey(0), x, vec(float(ts[i])),
+                               y, float(ts[i] - ts[i + 1]))[0]
+        return x
+
+    err = lambda x: float(jnp.linalg.norm(x - ref))
+    e_h = {n: err(run(eheun, n)) for n in (8, 16, 32)}
+    e_e = {n: err(run(eeuler, n)) for n in (16, 32)}
+
+    assert e_h[8] / e_h[16] > 3.0, f"exp_heun not 2nd order: {e_h}"
+    assert e_h[16] / e_h[32] > 3.0, f"exp_heun not 2nd order: {e_h}"
+    assert 1.5 < e_e[16] / e_e[32] < 3.0, f"exp_euler not 1st order: {e_e}"
+    # matched NFE: exp_heun at N/2 (same score evals) beats exp_euler at N
+    assert e_h[8] < e_e[16]
+    assert e_h[16] < e_e[32]
+
+
+def test_exp_predictors_survive_linear_grid_with_saturating_score():
+    """THE motivating property (VERDICT r4 #4): on the reference's LINEAR
+    grid with a realistic manifold-limited score — exactly where heun
+    collapses N-independently — the exponential integrators recover x0,
+    because the exact bridge propagator cannot overshoot no matter the
+    stepsize; only the (bounded, saturating) score residual is approximated."""
+    key = jax.random.PRNGKey(5)
+    x0, y = _make_problem(key)
+    sde = BBED(N=15)
+    score = _saturating_score(sde, x0)
+    rel = lambda s: float(jnp.linalg.norm(s - x0) / jnp.linalg.norm(x0))
+
+    out = {}
+    for name in ("exp_euler", "exp_heun"):
+        for grid in ("linear", "logit"):
+            sampler = get_pc_sampler(name, "none", sde, score, Y=y,
+                                     denoise=False, eps=0.03,
+                                     timestep_type=grid)
+            sample, _ = jax.jit(sampler)(jax.random.PRNGKey(1))
+            out[(name, grid)] = rel(sample)
+
+    # heun control: still collapses on the linear grid (same score, same key)
+    hs = get_pc_sampler("heun", "none", sde, score, Y=y, denoise=False,
+                        eps=0.03, timestep_type="linear")
+    h_out, _ = jax.jit(hs)(jax.random.PRNGKey(1))
+    assert rel(h_out) > 1.0, f"heun control unexpectedly fine: {rel(h_out)}"
+
+    for k, v in out.items():
+        assert v < 0.2, f"{k} missed x0: rel={v} (all: {out})"
+
+
+def test_pc_sampler_exp_predictor_nfe_accounting():
+    """Product path: exp_euler counts 1 NFE/step, exp_heun 2 NFE/step, and
+    both recover x0 from the exact score through the scan sampler."""
+    key = jax.random.PRNGKey(42)
+    x0, y = _make_problem(key)
+    sde = BBED(N=15)
+    score = _true_score(sde, x0)
+    for name, nfe in (("exp_euler", 15), ("exp_heun", 30)):
+        sampler = get_pc_sampler(name, "none", sde, score, Y=y,
+                                 denoise=False, eps=0.03)
+        sample, ns = jax.jit(sampler)(jax.random.PRNGKey(1))
+        assert ns == nfe, f"{name}: ns={ns}"
+        rel = float(jnp.linalg.norm(sample - x0) / jnp.linalg.norm(x0))
+        assert rel < 0.15, f"{name} missed x0: rel={rel}"

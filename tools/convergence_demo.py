@@ -57,6 +57,12 @@ def main(argv=None):
                              "sampler (the PESQ-vs-steps scaling curve)")
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--duration_s", type=float, default=1.2)
+    parser.add_argument("--noise_type", type=str, default="lp3k",
+                        help="synthetic noise shape (data/synthetic.py): "
+                             "'lp3k' (legacy, PESQ-mild: -5 dB mixtures score "
+                             "~2.4) or 'white'/'amod'/'white_amod' (realistic "
+                             "PESQ-damaging: mixtures ~1.33, the headroom a "
+                             "denoiser needs to beat its input on PESQ)")
     parser.add_argument("--lr", type=float, default=1e-4,
                         help="Adam learning rate (drop for a fine-tune "
                              "continuation with --resume: the restored Adam "
@@ -101,7 +107,8 @@ def main(argv=None):
     data_root = os.path.join(work, "data")
     print(f"[demo] synthetic dataset -> {data_root}")
     make_synthetic_dataset(data_root, num_train=args.num_train, num_valid=6,
-                           num_valid2=4, num_test=4, duration_s=args.duration_s)
+                           num_valid2=4, num_test=4, duration_s=args.duration_s,
+                           noise_type=args.noise_type)
 
     cfg = ScoreModelConfig(
         backbone="ncsnpp", sde="bbed", model_type=args.model_type,

@@ -346,6 +346,10 @@ def train_score_model(
 
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
+        # model-artifact parity with the reference's log_model=True
+        # (train.py:82): upload the final checkpoint directory when a wandb
+        # run is active (no-op otherwise)
+        logger.log_artifact(ckpt_dir, name="score_model")
     return state
 
 
@@ -449,4 +453,5 @@ def train_snr_model(
 
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
+        logger.log_artifact(ckpt_dir, name="snr_model")
     return state

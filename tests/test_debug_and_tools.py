@@ -154,3 +154,53 @@ def test_sampler_quality_rejects_holdout_suffix_with_holdout_dir():
     with pytest.raises(SystemExit):
         sampler_quality.main(["--label_suffix", "_holdout",
                               "--holdout_dir", "/nonexistent"])
+
+
+@pytest.mark.slow
+def test_reproduce_tables_synthetic_dry_run(tmp_path, capsys):
+    """The one-command Table-1/2/3 reproduction harness must run its FULL
+    pipeline mechanically on synthetic inputs (VERDICT r4 #5: 333 LoC of
+    parity harness with no coverage can rot silently): synthetic VBD
+    stand-in + tiny fresh checkpoints -> eval CLI -> deep_eval CLI -> every
+    table cell compared (unenforced) -> exit code 0."""
+    import json as _json
+
+    from tools import reproduce_tables
+
+    rc = reproduce_tables.main(
+        ["--synthetic_dry_run", "--out_dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+
+    # RESULT line semantics
+    line = [l for l in out.splitlines() if "[tables] RESULT" in l][-1]
+    res = _json.loads(line.split("RESULT ", 1)[1])
+    assert res["verdict"].startswith("DRY-RUN COMPLETE")
+
+    # Table 1 artifacts: per-file eval CSV over the 3 synthetic valid files
+    import pandas as pd
+
+    df1 = pd.read_csv(tmp_path / "table1" / "_results.csv")
+    assert len(df1) == 3
+    for m in ("pesq", "si_sdr", "estoi"):
+        assert m in df1.columns
+
+    # Tables 2/3 artifacts: all 27 per-SNR cells present
+    df23 = pd.read_csv(tmp_path / "tables23" / "_results_deep.csv")
+    for s in reproduce_tables.SNR_GRID:
+        for m in ("pesq", "si_sdr", "estoi"):
+            assert f"{m}_{s}" in df23.columns, f"missing {m}_{s}"
+
+    # every published cell was compared (printed) for the M6 protocol
+    for cell in ("M6 PESQ", "M6 ESTOI", "M6 SI-SDR", "PESQ @ -5 dB",
+                 "SI-SDR @ +35 dB"):
+        assert cell in out, f"missing comparison line for {cell}"
+
+
+def test_reproduce_tables_requires_inputs_without_dry_run():
+    """Without --synthetic_dry_run the harness must refuse to run when the
+    real inputs are missing (exit via argparse error, not a crash later)."""
+    from tools import reproduce_tables
+
+    with pytest.raises(SystemExit):
+        reproduce_tables.main([])

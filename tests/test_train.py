@@ -784,3 +784,62 @@ def test_empty_epoch_warns_once(capsys):
     assert int(state.step) == 0
     out = capsys.readouterr().out
     assert out.count("produced no training steps") == 1
+
+
+def test_wandb_artifact_and_code_parity(tmp_path, monkeypatch):
+    """--wandb parity with the reference's log_model=True + log_code
+    (sgmse-bbed/train.py:82-83): init uploads a code snapshot, log mirrors
+    metrics, log_artifact uploads the checkpoint dir as a model Artifact."""
+    import types
+    import sys as _sys
+
+    calls = {"log_code": [], "log": [], "artifacts": [], "finished": 0}
+
+    class _FakeArtifact:
+        def __init__(self, name, type):
+            self.name, self.type, self.dirs, self.files = name, type, [], []
+
+        def add_dir(self, p):
+            self.dirs.append(p)
+
+        def add_file(self, p):
+            self.files.append(p)
+
+    class _FakeRun:
+        def log_code(self, root):
+            calls["log_code"].append(root)
+
+        def log_artifact(self, art):
+            calls["artifacts"].append(art)
+
+    fake = types.ModuleType("wandb")
+    fake.run = _FakeRun()
+    fake.Artifact = _FakeArtifact
+    fake.init = lambda **kw: fake.run
+    fake.log = lambda m, step=None: calls["log"].append((m, step))
+    fake.finish = lambda: calls.__setitem__("finished", calls["finished"] + 1)
+    monkeypatch.setitem(_sys.modules, "wandb", fake)
+
+    from diffse_tpu.train.logging import MetricsLogger
+
+    logger = MetricsLogger(log_dir=str(tmp_path), use_wandb=True)
+    assert len(calls["log_code"]) == 1
+    import os as _os
+    assert _os.path.isdir(calls["log_code"][0])  # the repo root
+    logger.log({"train_loss": 1.0}, step=3)
+    assert calls["log"] == [({"train_loss": 1.0}, 3)]
+
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "x.bin").write_bytes(b"\x00")
+    logger.log_artifact(str(ckpt_dir), name="score_model")
+    assert len(calls["artifacts"]) == 1
+    art = calls["artifacts"][0]
+    assert art.name == "score_model" and art.type == "model"
+    assert art.dirs == [str(ckpt_dir)]
+    logger.close()
+    assert calls["finished"] == 1
+
+    # without wandb, log_artifact is a silent no-op
+    plain = MetricsLogger(log_dir=str(tmp_path))
+    plain.log_artifact(str(ckpt_dir))

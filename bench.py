@@ -408,8 +408,9 @@ def run_stage(stage: str):
         # tools/sampler_quality.py running the candidate AND the reference
         # config on a TRAINED checkpoint): the candidate must match the
         # reference sampler (reverse_diffusion+ald@N30, 60 NFE —
-        # eval.py:126-132) within tolerance (PESQ >= -0.05, SI-SDR >=
-        # -0.5 dB). Candidates (see CERT_CANDIDATES): corrector-free
+        # eval.py:126-132) within the quality-parity bar (CERT_TOL_PESQ /
+        # CERT_TOL_SI_SDR) on selection AND every holdout set present.
+        # Candidates (see CERT_CANDIDATES): corrector-free
         # reverse_diffusion, and logit-grid (stiffness-aware, DEVNOTES r4)
         # heun / rd+ald at reduced N. An uncertified candidate is never
         # measured — no compile is spent on a config we may not serve.
@@ -601,17 +602,33 @@ CERT_CANDIDATES = {
 }
 
 
+# Certification tolerance = the repo's quality-parity bar (BASELINE.md /
+# tools/reproduce_tables.py defaults: 0.02 PESQ, 0.2 dB SI-SDR). Round 4
+# used a looser 0.05/0.5 "measurement tolerance"; the round-4 verdict
+# correctly called that softer than the headline implies — certified now
+# means parity-bar-equal on the selection files AND on every holdout set.
+CERT_TOL_PESQ = 0.02
+CERT_TOL_SI_SDR = 0.2
+# out-of-selection validation sets sampler_quality can emit (suffix ->
+# description): synthetic test-split files, and the reference-shipped real
+# VBD wavs (/root/reference/dataset/...), which check that the config's
+# deltas transfer to real speech inputs
+CERT_HOLDOUT_SUFFIXES = ("_holdout", "_realwav")
+
+
 def _load_certified_config(path=None):
     """Pick the best quality-certified reduced-NFE serving config.
 
     tools/sampler_quality.py --out_json writes per-config PESQ/SI-SDR/ESTOI
     of a TRAINED checkpoint through each sampler; a candidate is certified
     when it matches the reference eval config (reverse_diffusion+ald@N30,
-    60 NFE — sgmse-bbed/eval.py:126-132) within measurement tolerance
-    (d_pesq >= -0.05 and d_si_sdr >= -0.5). Among certified candidates the
-    lowest NFE wins (ties: highest PESQ). Returns (label, config, summary)
-    or None — without a certification no reduced-NFE number can ever be the
-    headline."""
+    60 NFE — sgmse-bbed/eval.py:126-132) within the quality-parity bar
+    (d_pesq >= -CERT_TOL_PESQ and d_si_sdr >= -CERT_TOL_SI_SDR) on the
+    selection files AND on every present holdout set (CERT_HOLDOUT_SUFFIXES:
+    out-of-selection synthetic files and the reference-shipped real wavs).
+    Among certified candidates the lowest NFE wins (ties: highest PESQ).
+    Returns (label, config, summary) or None — without a certification no
+    reduced-NFE number can ever be the headline."""
     if path is None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "SAMPLER_QUALITY.json")
@@ -621,37 +638,51 @@ def _load_certified_config(path=None):
         ref = rows["rd_ald_N30"]
     except Exception:
         return None
+
+    def deltas(row, ref_row):
+        return (round(row["pesq"] - ref_row["pesq"], 3),
+                round(row["si_sdr"] - ref_row["si_sdr"], 2))
+
+    def passes(d_pesq, d_si):
+        return d_pesq >= -CERT_TOL_PESQ and d_si >= -CERT_TOL_SI_SDR
+
     best = None
     for label, scfg in CERT_CANDIDATES.items():
         row = rows.get(label)
         if not row:
             continue
-        d_pesq = round(row["pesq"] - ref["pesq"], 3)
-        d_si = round(row["si_sdr"] - ref["si_sdr"], 2)
-        if not (d_pesq >= -0.05 and d_si >= -0.5):
+        d_pesq, d_si = deltas(row, ref)
+        if not passes(d_pesq, d_si):
             continue
         # Guard against selection bias (the candidate table was chosen on
-        # the sweep's selection files): when an out-of-selection validation
-        # exists (tools/sampler_quality.py --label_suffix _holdout on the
-        # test split), the candidate must pass there too.
-        holdout = None
-        hrow, href = rows.get(label + "_holdout"), rows.get("rd_ald_N30_holdout")
-        if hrow and href:
-            hd_pesq = round(hrow["pesq"] - href["pesq"], 3)
-            hd_si = round(hrow["si_sdr"] - href["si_sdr"], 2)
-            if not (hd_pesq >= -0.05 and hd_si >= -0.5):
+        # the sweep's selection files): the candidate must ALSO pass on
+        # every out-of-selection validation set present in the sweep.
+        validations = {}
+        failed_holdout = False
+        for sfx in CERT_HOLDOUT_SUFFIXES:
+            hrow, href = rows.get(label + sfx), rows.get("rd_ald_N30" + sfx)
+            if not (hrow and href):
                 continue
-            holdout = {"d_pesq": hd_pesq, "d_si_sdr": hd_si,
-                       "candidate": hrow, "rd_ald_n30": href}
+            hd_pesq, hd_si = deltas(hrow, href)
+            if not passes(hd_pesq, hd_si):
+                failed_holdout = True
+                break
+            validations[sfx] = {"d_pesq": hd_pesq, "d_si_sdr": hd_si,
+                                "candidate": hrow, "rd_ald_n30": href}
+        if failed_holdout:
+            continue
         key = (scfg["nfe"], -row["pesq"])
         if best is None or key < best[0]:
             cert = {
                 "certified": True,
+                "tolerance": {"pesq": CERT_TOL_PESQ,
+                              "si_sdr": CERT_TOL_SI_SDR},
                 "d_pesq_vs_rd_ald_n30": d_pesq,
                 "d_si_sdr_vs_rd_ald_n30": d_si,
                 "candidate": row,
                 "rd_ald_n30": ref,
-                "holdout_validation": holdout,
+                "holdout_validation": validations.get("_holdout"),
+                "realwav_validation": validations.get("_realwav"),
                 "source": "SAMPLER_QUALITY.json (tools/sampler_quality.py)",
             }
             best = (key, (label, scfg, cert))

@@ -96,12 +96,16 @@ def test_single_snrize_tool(tmp_path):
 
 
 def test_bench_certified_config_selection(tmp_path):
-    """bench._load_certified_config picks the lowest-NFE candidate within
-    tolerance, refuses candidates that fail their _holdout rows, and returns
-    None with no certified candidate."""
+    """bench._load_certified_config picks the lowest-NFE candidate within the
+    quality-parity bar (0.02 PESQ / 0.2 dB — VERDICT r4 #2c tightened it
+    from the round-4 0.05/0.5), refuses candidates that fail any holdout set
+    (_holdout synthetic, _realwav real speech), and returns None with no
+    certified candidate."""
     import json as _json
 
     import bench
+
+    assert bench.CERT_TOL_PESQ == 0.02 and bench.CERT_TOL_SI_SDR == 0.2
 
     ref = dict(nfe=60, pesq=2.463, si_sdr=-3.54)
 
@@ -118,17 +122,24 @@ def test_bench_certified_config_selection(tmp_path):
             "rd_ald_N15": dict(nfe=30, pesq=2.322, si_sdr=-4.17)}
     assert bench._load_certified_config(write(rows)) is None
 
+    # the round-4 certified config's numbers (d_pesq -0.012, d_si -0.29)
+    # FAIL the tightened SI-SDR bar — exactly the verdict's complaint
+    rows = {"rd_ald_N30": ref,
+            "rd_ald2_logit_N10": dict(nfe=30, pesq=2.451, si_sdr=-3.83)}
+    assert bench._load_certified_config(write(rows)) is None
+
     # two in-tolerance 30-NFE candidates -> higher PESQ wins; 40-NFE loses
     rows = {
         "rd_ald_N30": ref,
-        "rd_ald_logit_N20": dict(nfe=40, pesq=2.414, si_sdr=-3.59),
-        "rd_ald_logit_N15_snr0.7": dict(nfe=30, pesq=2.433, si_sdr=-3.69),
-        "rd_ald2_logit_N10": dict(nfe=30, pesq=2.451, si_sdr=-3.83),
+        "rd_ald_logit_N20": dict(nfe=40, pesq=2.455, si_sdr=-3.59),
+        "rd_ald_logit_N15_snr0.7": dict(nfe=30, pesq=2.450, si_sdr=-3.69),
+        "rd_ald2_logit_N10": dict(nfe=30, pesq=2.458, si_sdr=-3.70),
     }
     label, scfg, cert = bench._load_certified_config(write(rows))
     assert label == "rd_ald2_logit_N10"
     assert scfg["corrector_steps"] == 2 and scfg["N"] == 10
     assert cert["certified"] and cert["holdout_validation"] is None
+    assert cert["tolerance"] == {"pesq": 0.02, "si_sdr": 0.2}
 
     # failing holdout row disqualifies the winner; runner-up takes over
     rows2 = dict(rows)
@@ -140,10 +151,28 @@ def test_bench_certified_config_selection(tmp_path):
 
     # passing holdout row keeps the winner and records the check
     rows3 = dict(rows2)
-    rows3["rd_ald2_logit_N10_holdout"] = dict(nfe=30, pesq=2.49, si_sdr=-3.3)
+    rows3["rd_ald2_logit_N10_holdout"] = dict(nfe=30, pesq=2.49, si_sdr=-3.15)
     label3, _, cert3 = bench._load_certified_config(write(rows3))
     assert label3 == "rd_ald2_logit_N10"
     assert cert3["holdout_validation"]["d_pesq"] == -0.01
+    assert cert3["realwav_validation"] is None
+
+    # a failing REAL-WAV holdout also disqualifies (deltas must transfer
+    # to real speech), even when the synthetic holdout passes
+    rows4 = dict(rows3)
+    rows4["rd_ald_N30_realwav"] = dict(nfe=60, pesq=1.9, si_sdr=5.0)
+    rows4["rd_ald2_logit_N10_realwav"] = dict(nfe=30, pesq=1.7, si_sdr=4.9)
+    label4, _, _ = bench._load_certified_config(write(rows4))
+    assert label4 == "rd_ald_logit_N15_snr0.7"
+
+    # passing real-wav holdout: winner restored, both validations recorded
+    rows5 = dict(rows4)
+    rows5["rd_ald2_logit_N10_realwav"] = dict(nfe=30, pesq=1.89, si_sdr=4.85)
+    label5, _, cert5 = bench._load_certified_config(write(rows5))
+    assert label5 == "rd_ald2_logit_N10"
+    assert cert5["holdout_validation"]["d_pesq"] == -0.01
+    assert cert5["realwav_validation"]["d_pesq"] == -0.01
+    assert cert5["realwav_validation"]["d_si_sdr"] == -0.15
 
 
 def test_sampler_quality_rejects_holdout_suffix_with_holdout_dir():

@@ -58,12 +58,12 @@ def build_model():
     return model, opt, state
 
 
-def build_batch(b=4, f=16, t=16):
+def build_batch(b=4, f=16, t=16, seed=1234):
     """Deterministic complex (X, Y) batch from host numpy (no device RNG, so
     every process and the single-process reference see identical bytes)."""
     import numpy as np
 
-    rng = np.random.default_rng(1234)
+    rng = np.random.default_rng(seed)
     x = (rng.standard_normal((b, 1, f, t)) +
          1j * rng.standard_normal((b, 1, f, t))).astype(np.complex64)
     n = (rng.standard_normal((b, 1, f, t)) +
@@ -82,6 +82,27 @@ def main(argv=None):
                         help="coordination-service registration timeout (s); "
                              "raise on oversubscribed hosts where process "
                              "startup is slow")
+    parser.add_argument("--batch", type=int, default=4,
+                        help="global batch size (must divide over the global "
+                             "device count)")
+    parser.add_argument("--steps", type=int, default=1,
+                        help=">1 runs a multi-step training loop with the "
+                             "coordinated preemption guard: a SIGTERM on ANY "
+                             "process stops EVERY process at the same step "
+                             "boundary (per-step all-reduced stop flag — the "
+                             "pattern that keeps surviving workers out of a "
+                             "dead worker's collective), then process 0 "
+                             "checkpoints")
+    parser.add_argument("--ckpt", default=None,
+                        help="checkpoint file (.npz) written by process 0 on "
+                             "preemption or completion of a --steps run")
+    parser.add_argument("--resume", action="store_true",
+                        help="load --ckpt before stepping and continue from "
+                             "its recorded step")
+    parser.add_argument("--progress_file", default=None,
+                        help="process 0 appends the completed-step index "
+                             "here after every step (lets a test synchronize "
+                             "an external SIGTERM with training progress)")
     args = parser.parse_args(argv)
 
     import jax
@@ -106,6 +127,7 @@ def main(argv=None):
           f"local={len(jax.local_devices())} global={len(jax.devices())}",
           flush=True)
 
+    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -113,7 +135,6 @@ def main(argv=None):
     from diffse_tpu.train import make_train_step
 
     model, opt, state = build_model()
-    x, y = build_batch()
 
     mesh = make_mesh()  # 1-D 'data' mesh over ALL processes' devices
     rep = NamedSharding(mesh, P())
@@ -124,25 +145,84 @@ def main(argv=None):
         return jax.make_array_from_callback(a.shape, sh,
                                             lambda idx, a=a: a[idx])
 
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    start_step = 0
+    if args.resume and args.ckpt and os.path.exists(args.ckpt):
+        data = np.load(args.ckpt)
+        start_step = int(data["__step__"])
+        leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        print(f"[dist p{args.process_id}] resumed from {args.ckpt} "
+              f"at step {start_step}", flush=True)
+
     # Host-local (identical) values -> global arrays: state/key replicated,
     # batch sharded on the global batch axis.
     state_g = jax.tree_util.tree_map(lambda a: globalize(a, rep), state)
-    batch_g = (globalize(x, dat), globalize(y, dat))
-    key_g = globalize(jax.random.PRNGKey(2), rep)
-
     step = make_train_step(model, opt, mesh=mesh, donate=False)
-    new_state, metrics = step(state_g, batch_g, key_g)
 
-    loss = float(np.asarray(metrics["train_loss"].addressable_data(0)))
+    def save_ckpt(state_arr, at_step):
+        if args.process_id != 0 or not args.ckpt:
+            return
+        host = {f"leaf_{i}": np.asarray(leaf.addressable_data(0))
+                for i, leaf in enumerate(
+                    jax.tree_util.tree_leaves(state_arr))}
+        host["__step__"] = np.asarray(at_step)
+        tmp = args.ckpt + ".tmp.npz"
+        np.savez(tmp, **host)
+        os.replace(tmp, args.ckpt)
+        print(f"[dist p0] checkpointed step {at_step} -> {args.ckpt}",
+              flush=True)
+
+    # Per-step coordinated stop: each process contributes its local SIGTERM
+    # flag (one scalar per local device), a tiny jitted max all-reduces it —
+    # so every process leaves the loop at the SAME step boundary and no
+    # survivor blocks inside a dead worker's collective.
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    flag_sh = NamedSharding(mesh, P("data"))
+
+    def all_any(local_flag: bool) -> bool:
+        a = np.full((n_local,), 1.0 if local_flag else 0.0, np.float32)
+        arr = jax.make_array_from_callback(
+            (n_global,), flag_sh, lambda idx, a=a: a[: idx[0].stop - idx[0].start])
+        out = jax.jit(jnp.max, out_shardings=rep)(arr)
+        return bool(np.asarray(out.addressable_data(0)) > 0.5)
+
+    from diffse_tpu.train.loop import _PreemptionGuard
+
+    guard = _PreemptionGuard()
+    preempted_at = None
+    loss = float("nan")
+    with guard:
+        for i in range(start_step, args.steps):
+            x, y = build_batch(b=args.batch, seed=1234 + i)
+            batch_g = (globalize(x, dat), globalize(y, dat))
+            key_g = globalize(jax.random.PRNGKey(2 + i), rep)
+            state_g, metrics = step(state_g, batch_g, key_g)
+            loss = float(np.asarray(metrics["train_loss"].addressable_data(0)))
+            done = i + 1
+            if args.progress_file and args.process_id == 0:
+                with open(args.progress_file, "a") as f:
+                    f.write(f"{done}\n")
+            if args.steps > 1 and all_any(guard.triggered):
+                preempted_at = done
+                print(f"[dist p{args.process_id}] coordinated stop at step "
+                      f"{done} (SIGTERM seen by some process)", flush=True)
+                save_ckpt(state_g, done)
+                break
+    if preempted_at is None and args.steps > 1:
+        save_ckpt(state_g, args.steps)
+
     # params come out replicated -> every process sees the full updated tree
     param_sum = float(sum(
         np.abs(np.asarray(leaf.addressable_data(0))).sum()
-        for leaf in jax.tree_util.tree_leaves(new_state.variables["params"])
+        for leaf in jax.tree_util.tree_leaves(state_g.variables["params"])
     ))
     result = dict(loss=loss, param_sum=param_sum,
                   num_devices=len(jax.devices()),
                   process_count=jax.process_count(),
-                  process_id=args.process_id)
+                  process_id=args.process_id,
+                  preempted_at=preempted_at)
     print(f"[dist p{args.process_id}] RESULT {json.dumps(result)}", flush=True)
     if args.out:
         with open(args.out, "w") as f:

@@ -60,6 +60,13 @@ def main(argv=None):
                              "TPU compile per config instead of two separate "
                              "CLI runs)")
     parser.add_argument("--num_holdout_files", type=int, default=4)
+    parser.add_argument("--realwav_holdout_dir", type=str, default=None,
+                        help="clean/noisy pair dir of REAL speech wavs (e.g. "
+                             "a copy of the reference-shipped VBD files) "
+                             "scored with '_realwav'-suffixed labels in the "
+                             "same process — validates that the certified "
+                             "config's deltas transfer to real speech; "
+                             "bench.py refuses candidates that fail it")
     parser.add_argument("--monitor", type=str, default=None,
                         help="pick the checkpoint by this metric (e.g. "
                              "'pesq' = the training loop's top-k selection "
@@ -73,6 +80,10 @@ def main(argv=None):
         parser.error("--label_suffix '_holdout' conflicts with --holdout_dir "
                      "(the holdout rows use that suffix); pick another suffix "
                      "or drop one of the flags")
+    if args.realwav_holdout_dir and args.label_suffix == "_realwav":
+        parser.error("--label_suffix '_realwav' conflicts with "
+                     "--realwav_holdout_dir (the real-wav rows use that "
+                     "suffix); pick another suffix or drop one of the flags")
 
     import jax
 
@@ -193,15 +204,19 @@ def main(argv=None):
                 add(c["label"] + sfx, score(x1, np.asarray(x_hat)))
             print(f"[sampq]{sfx} file {i + 1}/{len(files)} done", flush=True)
 
+    HOLDOUT_SUFFIXES = ("_holdout", "_realwav")
     suffixes = [args.label_suffix]
     run_set(clean_files, args.label_suffix)
-    if args.holdout_dir:
+    for hdir, sfx in ((args.holdout_dir, "_holdout"),
+                      (args.realwav_holdout_dir, "_realwav")):
+        if not hdir:
+            continue
         holdout_files = sorted(
-            os.path.join(args.holdout_dir, "clean", f)
-            for f in os.listdir(os.path.join(args.holdout_dir, "clean"))
+            os.path.join(hdir, "clean", f)
+            for f in os.listdir(os.path.join(hdir, "clean"))
         )[: args.num_holdout_files]
-        run_set(holdout_files, "_holdout")
-        suffixes.append("_holdout")
+        run_set(holdout_files, sfx)
+        suffixes.append(sfx)
 
     def mean(name, j):
         v = [r[j] for r in rows.get(name, []) if np.isfinite(r[j])]
@@ -214,9 +229,11 @@ def main(argv=None):
         print(f"\n{'config':<12} {'nfe':>4} {'pesq':>7} {'si_sdr':>8} "
               f"{'estoi':>7} {'dPESQ':>7} {'dSISDR':>8}")
         nfe_of = {c["label"] + sfx: c["nfe"] for c in configs}
-        names = [n for n in rows
-                 if (n.endswith("_holdout") if sfx == "_holdout"
-                     else not n.endswith("_holdout"))]
+        if sfx in HOLDOUT_SUFFIXES:
+            names = [n for n in rows if n.endswith(sfx)]
+        else:
+            names = [n for n in rows
+                     if not any(n.endswith(h) for h in HOLDOUT_SUFFIXES)]
         for name in names:
             p, s, e = mean(name, 0), mean(name, 1), mean(name, 2)
             dp = p - ref_p if name != "mixture" + sfx else 0.0

@@ -689,7 +689,22 @@ def _load_certified_config(path=None):
     return best[1] if best else None
 
 
+def _load_serving_slo():
+    """Attach the serving-latency SLO table (tools/serving_slo.py, measured
+    under concurrent load with the certified config) when one was recorded."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SERVING_SLO.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
 def _emit(stage, batch, audio_len, wall, jax, extra):
+    slo = _load_serving_slo()
+    if slo is not None:
+        extra = {**extra, "serving_latency_slo": slo}
     audio_seconds = batch * audio_len / SR
     rtf_x = audio_seconds / wall
     cert = extra.get("certified_quality")

@@ -29,6 +29,7 @@ The HTTP front end lives in :mod:`diffse_tpu.serving.http`; the CLI is
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -92,6 +93,9 @@ class ServiceConfig:
     # (SAMPLER_QUALITY.json, tools/sampler_quality.py). None = the
     # reference eval sampler (reverse_diffusion+ald, N=30).
     sampler_kwargs: Optional[dict] = None
+    # how many recent per-request end-to-end latencies (submit -> result)
+    # the p50/p95/p99 SLO window in stats() covers
+    latency_window: int = 2048
 
 
 class _Request:
@@ -137,6 +141,8 @@ class EnhanceService:
             "expired": 0,
             "flight_timeouts": 0,
         }
+        # end-to-end (submit -> result) latencies of recent requests, seconds
+        self._latencies = collections.deque(maxlen=self.cfg.latency_window)
         self._dispatcher = threading.Thread(target=self._run, daemon=True)
         self._dispatcher.start()
 
@@ -182,11 +188,26 @@ class EnhanceService:
     def stats(self) -> dict:
         with self._lock:
             s = dict(self._stats)
+            lat = list(self._latencies)
         s["occupancy"] = s["requests"] / s["flights"] if s["flights"] else 0.0
         s["rtf_x_realtime"] = (
             s["audio_seconds"] / s["wall_seconds"] if s["wall_seconds"] else 0.0
         )
         s["queue_depth"] = self._q.qsize()
+        # per-request end-to-end latency SLO window (submit -> result over
+        # the last latency_window requests): the numbers a queue-depth /
+        # linger knob is validated against
+        if lat:
+            a = np.asarray(lat)
+            s["latency_ms"] = {
+                "count": int(a.size),
+                "p50": round(float(np.percentile(a, 50)) * 1000.0, 1),
+                "p95": round(float(np.percentile(a, 95)) * 1000.0, 1),
+                "p99": round(float(np.percentile(a, 99)) * 1000.0, 1),
+                "max": round(float(a.max()) * 1000.0, 1),
+            }
+        else:
+            s["latency_ms"] = None
         return s
 
     def close(self, timeout: float = 30.0) -> None:
@@ -310,6 +331,7 @@ class EnhanceService:
             sampler_kwargs=self.cfg.sampler_kwargs,
         )
         wall = time.monotonic() - t0
+        t_done = time.monotonic()
         for r, out in zip(flight, outs):
             if not r.future.done():  # may have been failed by a flight timeout
                 r.future.set_result(np.asarray(out, dtype=np.float32))
@@ -319,6 +341,8 @@ class EnhanceService:
             self._stats["audio_seconds"] += sum(
                 r.y.shape[-1] for r in flight) / 16000.0
             self._stats["wall_seconds"] += wall
+            # end-to-end latency incl. queue wait + linger + device time
+            self._latencies.extend(t_done - r.t_submit for r in flight)
 
     def _run(self) -> None:
         try:

@@ -400,3 +400,28 @@ def test_http_request_limits(rng):
         server.shutdown()
         thread.join(timeout=10)
         svc.close()
+
+
+def test_service_latency_slo_stats(rng):
+    """stats() reports the per-request end-to-end latency SLO window
+    (p50/p95/p99/max over the last latency_window requests) — the numbers
+    the queue-depth/linger knobs are validated against (VERDICT r4 #7)."""
+    model, variables = _model()
+    wavs = _wavs(rng, [3000, 6000, 4000, 5000])
+
+    with EnhanceService(model, variables, config=ServiceConfig(
+            batch_size=8, max_flight_utts=4, max_wait_ms=50.0,
+            latency_window=3)) as svc:
+        assert svc.stats()["latency_ms"] is None  # nothing served yet
+        futs = [svc.submit(w) for w in wavs]
+        for f in futs:
+            f.result(timeout=300)
+        s = svc.stats()
+
+    lm = s["latency_ms"]
+    assert lm is not None
+    # the window is bounded by latency_window, not by requests served
+    assert lm["count"] == 3
+    assert 0.0 < lm["p50"] <= lm["p95"] <= lm["p99"] <= lm["max"]
+    # end-to-end latency includes queue wait: must be >= 0 and sane (< 5 min)
+    assert lm["max"] < 300_000

@@ -599,6 +599,29 @@ CERT_CANDIDATES = {
     "rd_ald2_logit_N6": dict(
         predictor="reverse_diffusion", corrector="ald", N=6,
         timestep_type="logit", nfe=18, corrector_steps=2),
+    # exponential data-prediction integrators (round 5): deterministic
+    # bridge-DDIM / DPM-Solver-2 steps plus a stochastic exp+ald hybrid
+    "exp_euler_logit_N30": dict(
+        predictor="exp_euler", corrector="none", N=30,
+        timestep_type="logit", nfe=30),
+    "exp_euler_logit_N15": dict(
+        predictor="exp_euler", corrector="none", N=15,
+        timestep_type="logit", nfe=15),
+    "exp_euler_logit_N10": dict(
+        predictor="exp_euler", corrector="none", N=10,
+        timestep_type="logit", nfe=10),
+    "exp_heun_logit_N15": dict(
+        predictor="exp_heun", corrector="none", N=15,
+        timestep_type="logit", nfe=30),
+    "exp_heun_logit_N8": dict(
+        predictor="exp_heun", corrector="none", N=8,
+        timestep_type="logit", nfe=16),
+    "exp_euler_ald_logit_N10": dict(
+        predictor="exp_euler", corrector="ald", N=10,
+        timestep_type="logit", nfe=20),
+    "exp_euler_ald_logit_N15": dict(
+        predictor="exp_euler", corrector="ald", N=15,
+        timestep_type="logit", nfe=30),
 }
 
 

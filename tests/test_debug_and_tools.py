@@ -233,3 +233,21 @@ def test_reproduce_tables_requires_inputs_without_dry_run():
 
     with pytest.raises(SystemExit):
         reproduce_tables.main([])
+
+
+def test_bench_candidates_covered_by_sampler_quality_sweep():
+    """Every bench CERT_CANDIDATES entry must exist in the sampler_quality
+    sweep with identical sampler parameters — a mismatch would certify one
+    config and serve another."""
+    import bench
+    from tools import sampler_quality as sq
+
+    labels = {c["label"]: c for c in sq.SWEEP_CONFIGS}
+    for k, v in bench.CERT_CANDIDATES.items():
+        assert k in labels, f"CERT_CANDIDATES[{k}] missing from sweep"
+        c = labels[k]
+        assert (c["N"], c["nfe"], c["predictor"], c["corrector"]) == (
+            v["N"], v["nfe"], v["predictor"], v["corrector"]), k
+        assert c["grid"] == v.get("timestep_type", "linear"), k
+        assert c["corrector_steps"] == v.get("corrector_steps", 1), k
+        assert c["snr"] == v.get("snr", 0.5), k

@@ -28,6 +28,61 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def C(label, pred, corr, n, nfe, grid="linear", snr=0.5, csteps=1):
+    return dict(label=label, predictor=pred, corrector=corr, N=n,
+                nfe=nfe, grid=grid, snr=snr, corrector_steps=csteps)
+
+SWEEP_CONFIGS = [
+    # reference config (sgmse-bbed/eval.py:126-132, linear grid)
+    C("rd_ald_N30", "reverse_diffusion", "ald", 30, 60),
+    C("rd_ald_N15", "reverse_diffusion", "ald", 15, 30),
+    C("rd_ald_N8", "reverse_diffusion", "ald", 8, 16),
+    C("heun_N30", "heun", "none", 30, 60),
+    C("heun_N15", "heun", "none", 15, 30),
+    C("heun_N8", "heun", "none", 8, 16),
+    # reduced-NFE candidates after the round-4 stiffness diagnosis
+    # (DEVNOTES): corrector-free reference predictor; logit-grid
+    # (two-sided step clustering) variants of the stochastic and the
+    # 2nd-order deterministic sampler; corrector-snr and
+    # corrector-steps variations of the strongest stochastic candidate
+    # (snr is a traced arg — its variants share one compile).
+    C("rd_only_N30", "reverse_diffusion", "none", 30, 30),
+    C("rd_ald_logit_N15", "reverse_diffusion", "ald", 15, 30, "logit"),
+    C("heun_logit_N15", "heun", "none", 15, 30, "logit"),
+    C("heun_logit_N30", "heun", "none", 30, 60, "logit"),
+    C("rd_ald_logit_N20", "reverse_diffusion", "ald", 20, 40, "logit"),
+    C("rd_ald_logit_N15_snr0.3", "reverse_diffusion", "ald", 15, 30,
+      "logit", snr=0.3),
+    C("rd_ald_logit_N15_snr0.7", "reverse_diffusion", "ald", 15, 30,
+      "logit", snr=0.7),
+    C("rd_ald_logit_N15_snr1.0", "reverse_diffusion", "ald", 15, 30,
+      "logit", snr=1.0),
+    C("rd_ald2_logit_N10", "reverse_diffusion", "ald", 10, 30, "logit",
+      csteps=2),
+    # sub-30-NFE candidates: viable once the score net is accurate
+    # enough (larger-data checkpoints) — the corrector budget is what
+    # tolerates score error at few predictor steps (DEVNOTES round 4)
+    C("rd_ald_logit_N10", "reverse_diffusion", "ald", 10, 20, "logit"),
+    C("rd_ald2_logit_N8", "reverse_diffusion", "ald", 8, 24, "logit",
+      csteps=2),
+    C("rd_ald2_logit_N7", "reverse_diffusion", "ald", 7, 21, "logit",
+      csteps=2),
+    C("rd_ald2_logit_N6", "reverse_diffusion", "ald", 6, 18, "logit",
+      csteps=2),
+    # exponential data-prediction integrators (bridge DDIM /
+    # DPM-Solver-2, sampling/predictors.py): the stiffness-immune
+    # deterministic route (round-5 replacement for the collapsed heun)
+    # plus a stochastic exp+ald hybrid
+    C("exp_euler_logit_N30", "exp_euler", "none", 30, 30, "logit"),
+    C("exp_euler_logit_N15", "exp_euler", "none", 15, 15, "logit"),
+    C("exp_euler_logit_N10", "exp_euler", "none", 10, 10, "logit"),
+    C("exp_heun_logit_N15", "exp_heun", "none", 15, 30, "logit"),
+    C("exp_heun_logit_N8", "exp_heun", "none", 8, 16, "logit"),
+    C("exp_euler_ald_logit_N10", "exp_euler", "ald", 10, 20, "logit"),
+    C("exp_euler_ald_logit_N15", "exp_euler", "ald", 15, 30, "logit"),
+]
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--work_dir", type=str,
@@ -122,48 +177,8 @@ def main(argv=None):
         for f in os.listdir(os.path.join(valid, "clean"))
     )[: args.num_files]
 
-    def C(label, pred, corr, n, nfe, grid="linear", snr=0.5, csteps=1):
-        return dict(label=label, predictor=pred, corrector=corr, N=n,
-                    nfe=nfe, grid=grid, snr=snr, corrector_steps=csteps)
+    configs = list(SWEEP_CONFIGS)
 
-    configs = [
-        # reference config (sgmse-bbed/eval.py:126-132, linear grid)
-        C("rd_ald_N30", "reverse_diffusion", "ald", 30, 60),
-        C("rd_ald_N15", "reverse_diffusion", "ald", 15, 30),
-        C("rd_ald_N8", "reverse_diffusion", "ald", 8, 16),
-        C("heun_N30", "heun", "none", 30, 60),
-        C("heun_N15", "heun", "none", 15, 30),
-        C("heun_N8", "heun", "none", 8, 16),
-        # reduced-NFE candidates after the round-4 stiffness diagnosis
-        # (DEVNOTES): corrector-free reference predictor; logit-grid
-        # (two-sided step clustering) variants of the stochastic and the
-        # 2nd-order deterministic sampler; corrector-snr and
-        # corrector-steps variations of the strongest stochastic candidate
-        # (snr is a traced arg — its variants share one compile).
-        C("rd_only_N30", "reverse_diffusion", "none", 30, 30),
-        C("rd_ald_logit_N15", "reverse_diffusion", "ald", 15, 30, "logit"),
-        C("heun_logit_N15", "heun", "none", 15, 30, "logit"),
-        C("heun_logit_N30", "heun", "none", 30, 60, "logit"),
-        C("rd_ald_logit_N20", "reverse_diffusion", "ald", 20, 40, "logit"),
-        C("rd_ald_logit_N15_snr0.3", "reverse_diffusion", "ald", 15, 30,
-          "logit", snr=0.3),
-        C("rd_ald_logit_N15_snr0.7", "reverse_diffusion", "ald", 15, 30,
-          "logit", snr=0.7),
-        C("rd_ald_logit_N15_snr1.0", "reverse_diffusion", "ald", 15, 30,
-          "logit", snr=1.0),
-        C("rd_ald2_logit_N10", "reverse_diffusion", "ald", 10, 30, "logit",
-          csteps=2),
-        # sub-30-NFE candidates: viable once the score net is accurate
-        # enough (larger-data checkpoints) — the corrector budget is what
-        # tolerates score error at few predictor steps (DEVNOTES round 4)
-        C("rd_ald_logit_N10", "reverse_diffusion", "ald", 10, 20, "logit"),
-        C("rd_ald2_logit_N8", "reverse_diffusion", "ald", 8, 24, "logit",
-          csteps=2),
-        C("rd_ald2_logit_N7", "reverse_diffusion", "ald", 7, 21, "logit",
-          csteps=2),
-        C("rd_ald2_logit_N6", "reverse_diffusion", "ald", 6, 18, "logit",
-          csteps=2),
-    ]
     if args.configs:
         want = set(args.configs.split(","))
         unknown = want - {c["label"] for c in configs}

@@ -251,3 +251,36 @@ def test_bench_candidates_covered_by_sampler_quality_sweep():
         assert c["grid"] == v.get("timestep_type", "linear"), k
         assert c["corrector_steps"] == v.get("corrector_steps", 1), k
         assert c["snr"] == v.get("snr", 0.5), k
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference/dataset"),
+                    reason="reference dataset not present")
+def test_prep_realwav_holdout_stages_bucket_sized_pairs(tmp_path):
+    """The real-wav holdout prep must stage 4 distinct clean/noisy pairs
+    that all land in the 2.0-s fixtures' 256-frame width bucket (so the
+    certification sweep reuses one compiled enhance program per config),
+    with clean/noisy lengths matched per pair."""
+    from diffse_tpu.data.wavio import read_wav
+    from diffse_tpu.transforms.spec import width_bucket
+    from tools import prep_realwav_holdout
+
+    out = str(tmp_path / "rw")
+    assert prep_realwav_holdout.main(["--out_dir", out]) == 0
+    cleans = sorted(os.listdir(os.path.join(out, "clean")))
+    noisys = sorted(os.listdir(os.path.join(out, "noisy")))
+    assert cleans == noisys and len(cleans) == 4
+    seen = []
+    for f in cleans:
+        x, sr = read_wav(os.path.join(out, "clean", f))
+        y, sr2 = read_wav(os.path.join(out, "noisy", f))
+        assert sr == sr2 == 16000
+        assert x.shape == y.shape
+        assert width_bucket(x.shape[-1], 128)[0] == 256, f
+        # active speech survived the trim (PESQ needs a live signal)
+        assert float(np.sqrt((x ** 2).mean())) > 1e-3, f
+        seen.append(y)
+    # the four mixtures are pairwise distinct (no duplicated pair)
+    for i in range(len(seen)):
+        for j in range(i + 1, len(seen)):
+            n = min(seen[i].shape[-1], seen[j].shape[-1])
+            assert not np.array_equal(seen[i][:, :n], seen[j][:, :n])

@@ -585,6 +585,9 @@ CERT_CANDIDATES = {
     "rd_ald2_logit_N10": dict(
         predictor="reverse_diffusion", corrector="ald", N=10,
         timestep_type="logit", nfe=30, corrector_steps=2),
+    "rd_ald2_logit_N12": dict(
+        predictor="reverse_diffusion", corrector="ald", N=12,
+        timestep_type="logit", nfe=36, corrector_steps=2),
     # sub-30-NFE candidates (round-4 session-2 sweep targets on the
     # larger-data checkpoint)
     "rd_ald_logit_N10": dict(

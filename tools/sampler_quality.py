@@ -59,6 +59,8 @@ SWEEP_CONFIGS = [
       "logit", snr=1.0),
     C("rd_ald2_logit_N10", "reverse_diffusion", "ald", 10, 30, "logit",
       csteps=2),
+    C("rd_ald2_logit_N12", "reverse_diffusion", "ald", 12, 36, "logit",
+      csteps=2),
     # sub-30-NFE candidates: viable once the score net is accurate
     # enough (larger-data checkpoints) — the corrector budget is what
     # tolerates score error at few predictor steps (DEVNOTES round 4)

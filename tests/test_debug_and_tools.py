@@ -268,7 +268,7 @@ def test_prep_realwav_holdout_stages_bucket_sized_pairs(tmp_path):
     assert prep_realwav_holdout.main(["--out_dir", out]) == 0
     cleans = sorted(os.listdir(os.path.join(out, "clean")))
     noisys = sorted(os.listdir(os.path.join(out, "noisy")))
-    assert cleans == noisys and len(cleans) == 4
+    assert cleans == noisys and len(cleans) == 5
     seen = []
     for f in cleans:
         x, sr = read_wav(os.path.join(out, "clean", f))

@@ -26,10 +26,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_PAIRS = [
-    # (label, clean path, noisy path) — all four are distinct mixtures
-    # (checked: noisy waveforms differ pairwise, incl. valid vs valid2).
+    # (label, clean path, noisy path) — all five are distinct mixtures
+    # (checked: noisy waveforms differ pairwise, incl. valid vs valid2 and
+    # the original-SNR VBD mix vs its -5 dB remix).
     ("p226_train", "VBD_SNR-5/train/clean/p226_001.wav",
      "VBD_SNR-5/train/noisy/p226_001.wav"),
+    ("p226_vbd", "VBD/train/clean/p226_001.wav",
+     "VBD/train/noisy/p226_001.wav"),
     ("p286_train2", "VBD_SNR-5/train2/clean/p286_001.wav",
      "VBD_SNR-5/train2/noisy/p286_001.wav"),
     ("p232_valid", "VBD_SNR-5/valid/clean/p232_001.wav",

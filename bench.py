@@ -64,6 +64,13 @@ def run_stage(stage: str):
     import jax.numpy as jnp
     import numpy as np
 
+    # rbg PRNG for the sampler's noise draws: statistically equivalent
+    # stream, cheaper key schedule inside the fused scan — measured
+    # 0.8081 -> 0.8072 s/batch on the strict 60-NFE program (round-5 probe
+    # ledger, DEVNOTES). Threefry is only the default for reproducibility
+    # of keyed test vectors, which no bench program relies on.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from diffse_tpu.models.score_model import ScoreModel, ScoreModelConfig
     from diffse_tpu.sampling import get_pc_sampler
     from diffse_tpu.sampling.correctors import AnnealedLangevinDynamics
@@ -144,6 +151,11 @@ def run_stage(stage: str):
             sampler = get_pc_sampler(
                 "reverse_diffusion", "ald", sde=sde, score_fn=score_fn, Y=Y,
                 denoise=True, eps=cfg.t_eps, snr=0.5, corrector_steps=1,
+                # unroll=2: two PC steps per scan iteration lets the TPU
+                # scheduler overlap across the step boundary — measured
+                # 0.8072 -> 0.8068 s/batch (unroll=4 regresses to 0.829:
+                # round-5 probe ledger)
+                unroll=2,
             )
             sample, _ = sampler(key)
             x_hat = model.to_audio(sample[:, 0])
@@ -434,6 +446,7 @@ def run_stage(stage: str):
                     snr=scfg.get("snr", 0.5),
                     corrector_steps=scfg.get("corrector_steps", 1),
                     timestep_type=scfg["timestep_type"],
+                    unroll=2,  # same scheduler-overlap win as the primary
                 )
                 sample, _ = sampler(key)
                 x_hat = model.to_audio(sample[:, 0])

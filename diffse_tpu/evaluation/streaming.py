@@ -142,6 +142,27 @@ def _frame_crossfade_weights(n: int, chunk: int, overlap: int) -> np.ndarray:
     return w
 
 
+def _c2f(z: jnp.ndarray) -> jnp.ndarray:
+    """``[., C, F, T]`` complex -> ``[., 2C, F, T]`` float (real ++ imag).
+
+    Complex spectrogram chunks must NOT cross jit boundaries in the packed
+    pipeline: the axon TPU bridge mishandles complex64 buffers outside a
+    single program (CLAUDE.md) — measured on-chip: passing the prep stage's
+    complex chunk arrays into the hot chunk program poisons the client
+    (trace-time constant fetches raise UNIMPLEMENTED) or wedges the final
+    float fetch (hang). With float-only boundaries the identical pipeline
+    runs and fetches cleanly (round-5 DEVNOTES). Complex exists only INSIDE
+    each compiled program; XLA fuses the repack to nothing.
+    """
+    return jnp.concatenate([z.real, z.imag], axis=1)
+
+
+def _f2c(f: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_c2f`: first half of axis 1 is Re, second is Im."""
+    c = f.shape[1] // 2
+    return (f[:, :c] + 1j * f[:, c:]).astype(jnp.complex64)
+
+
 def _stream_cache(model: ScoreModel) -> dict:
     """Per-model jit cache (like ScoreModel._enhance_cache): the jitted
     closures capture the model, so a module-global cache would pin every
@@ -259,9 +280,10 @@ def enhance_streamed_spec(
                  tuple(sorted(sk.items())))
     fn = cache.get(cache_key)
     if fn is None:
-        weights = jnp.asarray(
-            _frame_crossfade_weights(n, chunk_frames, overlap_frames)
-        )
+        # numpy closure constant (not a pre-uploaded device array): device
+        # constants embed via a trace-time value fetch the axon bridge can
+        # refuse — see _c2f
+        weights = _frame_crossfade_weights(n, chunk_frames, overlap_frames)
 
         def stream_fn(variables, x_in, y_in, key, est):
             est_b = jnp.broadcast_to(jnp.atleast_1d(est), (n,))
@@ -272,8 +294,8 @@ def enhance_streamed_spec(
                 model, variables, model_type, Xc, Yc, key, est_b, fs,
                 noise_size=noise_size, **sk,
             )
-            x_hat = _spec_ola(model, sample, weights, n, step, chunk_frames,
-                              total_frames, pad_samples)
+            x_hat = _spec_ola(model, sample, jnp.asarray(weights), n, step,
+                              chunk_frames, total_frames, pad_samples)
             return x_hat * norm
 
         fn = jax.jit(stream_fn)
@@ -366,8 +388,12 @@ def enhance_streamed_packed(
             return fn
 
         def prep(x_in, y_in, est):
-            return _spec_prep(model, model_type, fs, x_in, y_in, est, n,
-                              step, chunk)
+            Xc, Yc, norm, noise_size = _spec_prep(
+                model, model_type, fs, x_in, y_in, est, n, step, chunk
+            )
+            # float-only outputs: complex chunks stay inside the program
+            # (axon bridge complex-boundary defect — see _c2f)
+            return _c2f(Xc), _c2f(Yc), norm, noise_size
 
         fn = jax.jit(prep)
         cache[ck] = fn
@@ -382,14 +408,20 @@ def enhance_streamed_packed(
         if fn is not None:
             return fn
 
+        # float-in / float-out: the complex spectrograms are rebuilt and
+        # re-split INSIDE the program (axon bridge complex-boundary defect
+        # — see _c2f); XLA fuses the repacking away.
         if needs_noise:
             def run(variables, Xb, Yb, key, est_b, noise_b):
-                return spec_sample(model, variables, model_type, Xb, Yb, key,
-                                   est_b, fs, noise_size=noise_b, **sk)
+                out = spec_sample(model, variables, model_type, _f2c(Xb),
+                                  _f2c(Yb), key, est_b, fs,
+                                  noise_size=noise_b, **sk)
+                return _c2f(out)
         else:
             def run(variables, Xb, Yb, key, est_b):
-                return spec_sample(model, variables, model_type, Xb, Yb, key,
-                                   est_b, fs, **sk)
+                out = spec_sample(model, variables, model_type, _f2c(Xb),
+                                  _f2c(Yb), key, est_b, fs, **sk)
+                return _c2f(out)
 
         fn = jax.jit(run)
         cache[ck] = fn
@@ -400,11 +432,14 @@ def enhance_streamed_packed(
         fn = cache.get(ck)
         if fn is not None:
             return fn
-        weights = jnp.asarray(_frame_crossfade_weights(n, chunk, overlap))
+        # keep the weights a NUMPY closure constant: a pre-uploaded device
+        # array would be embedded via a trace-time value fetch, which the
+        # axon bridge can refuse (UNIMPLEMENTED) once complex programs ran
+        weights = _frame_crossfade_weights(n, chunk, overlap)
 
         def finish(sample, norm):
-            x_hat = _spec_ola(model, sample, weights, n, step, chunk,
-                              total_frames, pad_samples)
+            x_hat = _spec_ola(model, _f2c(sample), jnp.asarray(weights), n,
+                              step, chunk, total_frames, pad_samples)
             return x_hat * norm
 
         fn = jax.jit(finish)

@@ -586,6 +586,10 @@ CERT_CANDIDATES = {
                            N=15, timestep_type="logit", nfe=30),
     "rd_ald_logit_N20": dict(predictor="reverse_diffusion", corrector="ald",
                              N=20, timestep_type="logit", nfe=40),
+    "rd_ald_logit_N17": dict(predictor="reverse_diffusion", corrector="ald",
+                             N=17, timestep_type="logit", nfe=34),
+    "rd_ald_logit_N18": dict(predictor="reverse_diffusion", corrector="ald",
+                             N=18, timestep_type="logit", nfe=36),
     "rd_ald_logit_N15_snr0.3": dict(
         predictor="reverse_diffusion", corrector="ald", N=15,
         timestep_type="logit", nfe=30, snr=0.3),

@@ -51,6 +51,10 @@ SWEEP_CONFIGS = [
     C("heun_logit_N15", "heun", "none", 15, 30, "logit"),
     C("heun_logit_N30", "heun", "none", 30, 60, "logit"),
     C("rd_ald_logit_N20", "reverse_diffusion", "ald", 20, 40, "logit"),
+    # round-5 boundary densification: the 4-seed table passes at N20
+    # (40 NFE) and fails holdout PESQ at 30 NFE — probe between
+    C("rd_ald_logit_N17", "reverse_diffusion", "ald", 17, 34, "logit"),
+    C("rd_ald_logit_N18", "reverse_diffusion", "ald", 18, 36, "logit"),
     C("rd_ald_logit_N15_snr0.3", "reverse_diffusion", "ald", 15, 30,
       "logit", snr=0.3),
     C("rd_ald_logit_N15_snr0.7", "reverse_diffusion", "ald", 15, 30,

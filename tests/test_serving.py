@@ -333,7 +333,11 @@ def test_flight_timeout_unblocks_clients(rng):
     model, variables = _model()
     svc = EnhanceService(model, variables, config=ServiceConfig(
         batch_size=8, max_flight_utts=1, max_wait_ms=5.0,
-        flight_timeout_s=0.15))
+        flight_timeout_s=0.15,
+        # this test is about the FLIGHT deadline: keep the queue deadline
+        # out of the way (the recovery request sits queued while the next
+        # flight COMPILES, which takes >30 s on a contended CI core)
+        max_queue_seconds=600.0))
     real_execute = svc._execute_flight
     calls = []
 
